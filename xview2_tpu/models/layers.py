@@ -1,0 +1,336 @@
+"""Flax NN building blocks for the xView2 U-Net zoo (NHWC, bf16-friendly).
+
+TPU-native re-design of the reference blocks (``/root/reference/model/layers.py``):
+
+* Layout is NHWC end-to-end (XLA:TPU's native conv layout).
+* PyTorch's ``align_corners=True`` bilinear resize and adaptive average
+  pooling are expressed as separable 1-D interpolation/averaging **matrix
+  multiplies** — they land on the MXU and are bit-matching the reference
+  semantics (unlike ``jax.image.resize`` which uses half-pixel centers).
+* BatchNorm statistics are computed in fp32 even under bf16 compute; under a
+  sharded (data-parallel) batch inside jit, the batch reductions are global,
+  which is exactly the reference's sync-BN (``main.py:106``) without a
+  separate wrapper.
+
+Reference block map (file:line cites into /root/reference/model/layers.py):
+ConvLayer :89-100, ConvBlock :119-128, ConvTranspose :80-86, AttentionLayer
+:68-77, UpsampleBlock :131-168, PPM :6-29, ASPPModule/ASPP :32-65,
+FusionBlock :103-116, OutputBlock :171-189.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Dtype = Any
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)),
+# i.e. variance_scaling(1/3, fan_in, uniform).  Used everywhere the reference
+# relies on the torch default.
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# torch kaiming_normal_ (ASPP modules, reference layers.py:43-46).
+kaiming_normal_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+LEAKY_SLOPE = 0.01
+BN_MOMENTUM = 0.9  # flax momentum == 1 - torch momentum (torch default 0.1)
+BN_EPS = 1e-5
+
+
+def leaky_relu(x: Array) -> Array:
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+@functools.lru_cache(maxsize=64)
+def _align_corners_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) 1-D linear-interp matrix with PyTorch align_corners=True."""
+    w = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1:
+        w[0, 0] = 1.0
+        return w
+    if in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    scale = (in_size - 1) / (out_size - 1)
+    pos = np.arange(out_size) * scale
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (pos - lo).astype(np.float32)
+    w[np.arange(out_size), lo] += 1.0 - frac
+    w[np.arange(out_size), hi] += frac
+    return w
+
+
+def interpolate_bilinear(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """NHWC bilinear resize with PyTorch ``align_corners=True`` semantics.
+
+    Separable: ``out = Wh @ x @ Ww^T`` per (batch, channel) — two small
+    matmuls that XLA maps onto the MXU.
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_align_corners_weights(h, oh), dtype)
+    ww = jnp.asarray(_align_corners_weights(w, ow), dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x)
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def _adaptive_pool_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) averaging matrix matching torch adaptive_avg_pool2d windows."""
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)  # ceil
+        w[i, lo:hi] = 1.0 / (hi - lo)
+    return w
+
+
+def adaptive_avg_pool(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """NHWC adaptive average pool with torch window semantics (matmul form)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    dtype = x.dtype
+    wh = jnp.asarray(_adaptive_pool_weights(h, oh), dtype)
+    ww = jnp.asarray(_adaptive_pool_weights(w, ow), dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x)
+    return x
+
+
+class ConvLayer(nn.Module):
+    """3x3 conv (no bias) + BN + LeakyReLU(0.01) — reference layers.py:89-100."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
+        return leaky_relu(x)
+
+
+class ConvBlock(nn.Module):
+    """Two stacked ConvLayers — reference layers.py:119-128."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = ConvLayer(self.features, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvLayer(self.features, dtype=self.dtype, name="conv2")(x, train)
+        return x
+
+
+class ConvTranspose(nn.Module):
+    """2x2 stride-2 transposed conv, no bias — reference layers.py:80-86."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2), use_bias=False,
+                                kernel_init=torch_conv_init, dtype=self.dtype)(x)
+
+
+class AttentionLayer(nn.Module):
+    """1x1 conv (no bias) + BN — reference layers.py:68-77."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                            epsilon=BN_EPS, dtype=self.dtype)(x)
+
+
+class UpsampleBlock(nn.Module):
+    """Decoder stage: upsample, optional additive attention gate on the skip,
+    concat, ConvBlock — reference layers.py:131-168.
+
+    ``dec_interp`` swaps the transposed conv for conv3x3 + bilinear 2x
+    (align_corners=True), matching ``layers.py:152-155``.
+    """
+
+    features: int
+    skip_channels: int
+    attention: bool = False
+    dec_interp: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Optional[Array] = None, train: bool = False) -> Array:
+        if self.dec_interp:
+            out = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
+                          kernel_init=torch_conv_init, dtype=self.dtype, name="conv")(x)
+            out = interpolate_bilinear(out, (2 * out.shape[1], 2 * out.shape[2]))
+        else:
+            out = ConvTranspose(self.features, dtype=self.dtype, name="conv_transpose")(x)
+
+        if self.skip_channels == 0:
+            return ConvBlock(self.features, dtype=self.dtype, name="conv_block")(out, train)
+
+        if self.attention:
+            att = self.features // 2
+            out_a = AttentionLayer(att, dtype=self.dtype, name="conv_o")(out, train)
+            skip_a = AttentionLayer(att, dtype=self.dtype, name="conv_s")(skip, train)
+            psi = AttentionLayer(1, dtype=self.dtype, name="psi")(nn.relu(out_a + skip_a), train)
+            skip = skip * nn.sigmoid(psi)
+        out = jnp.concatenate([out, skip], axis=-1)
+        return ConvBlock(self.features, dtype=self.dtype, name="conv_block")(out, train)
+
+
+class PPM(nn.Module):
+    """Pyramid pooling module — reference layers.py:6-29.
+
+    Bins (1,2,3,6): adaptive-pool -> 1x1 conv (no bias) + BN + LeakyReLU ->
+    bilinear (align corners) back to input size; concat with input; fuse with a
+    1x1 conv back to ``in_channels``.
+    """
+
+    dtype: Dtype = jnp.float32
+    bins: Sequence[int] = (1, 2, 3, 6)
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        in_ch = x.shape[-1]
+        out_ch = in_ch // 4
+        h, w = x.shape[1], x.shape[2]
+        feats = [x]
+        for i, b in enumerate(self.bins):
+            f = adaptive_avg_pool(x, (b, b))
+            f = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=torch_conv_init,
+                        dtype=self.dtype, name=f"reduce{i}")(f)
+            f = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name=f"bn{i}")(f)
+            f = leaky_relu(f)
+            feats.append(interpolate_bilinear(f, (h, w)))
+        out = jnp.concatenate(feats, axis=-1)  # 2 * in_ch
+        return nn.Conv(in_ch, (1, 1), use_bias=True, kernel_init=torch_conv_init,
+                       dtype=self.dtype, name="fuse")(out)
+
+
+class ASPPModule(nn.Module):
+    """Single atrous branch: conv + BN + LeakyReLU, kaiming-normal init
+    — reference layers.py:32-46."""
+
+    features: int
+    kernel_size: int
+    dilation: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        pad = 0 if self.kernel_size == 1 else self.dilation
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size), padding=pad,
+                    kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                    kernel_init=kaiming_normal_init, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
+        return leaky_relu(x)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling — reference layers.py:49-65.
+
+    Dilations [1, 3d, 6d, 9d]; output is the concat of 4 x (C/4) branches —
+    channel count preserved, no fuse conv (deliberate reference behavior).
+    """
+
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        out_ch = x.shape[-1] // 4
+        d = self.dilation
+        branches = [
+            ASPPModule(out_ch, 1, 1, dtype=self.dtype, name="aspp1")(x, train),
+            ASPPModule(out_ch, 3, 3 * d, dtype=self.dtype, name="aspp2")(x, train),
+            ASPPModule(out_ch, 3, 6 * d, dtype=self.dtype, name="aspp3")(x, train),
+            ASPPModule(out_ch, 3, 9 * d, dtype=self.dtype, name="aspp4")(x, train),
+        ]
+        return jnp.concatenate(branches, axis=-1)
+
+
+class FusionBlock(nn.Module):
+    """Cross-branch fusion — reference layers.py:103-116.
+
+    Runs the pre/post sub-layers, concatenates the two branches, and produces
+    re-mixed pre/post features with two ConvLayers.  The sub-layers are
+    arbitrary callables taking ``(x, train)`` (encoder stages) or
+    ``(x, skip, train)`` (decoder stages, selected via ``decoder_mode``).
+    """
+
+    pre_layer: Any
+    post_layer: Any
+    features: int
+    decoder_mode: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pre, post, dec_pre=None, dec_post=None, last_dec: bool = False,
+                 train: bool = False):
+        if self.decoder_mode and (dec_pre is not None or dec_post is not None or last_dec):
+            pre = self.pre_layer(pre, dec_pre, train)
+            post = self.post_layer(post, dec_post, train)
+        else:
+            pre = self.pre_layer(pre, train)
+            post = self.post_layer(post, train)
+        fmap = jnp.concatenate([pre, post], axis=-1)
+        new_pre = ConvLayer(self.features, dtype=self.dtype, name="conv_pre")(fmap, train)
+        new_post = ConvLayer(self.features, dtype=self.dtype, name="conv_post")(fmap, train)
+        return new_pre, new_post
+
+
+def _coral_bias_init(key, shape, dtype=jnp.float32):
+    del key
+    assert shape == (3,)
+    return jnp.array([1.0, 0.0, -1.0], dtype)
+
+
+class OutputBlock(nn.Module):
+    """Final 1x1 head — reference layers.py:171-189.
+
+    CORAL (``n_class == 3``): a single-logit conv (no bias) plus a shared
+    ordinal bias initialized to [1, 0, -1], broadcast to 3 channels.
+    ``interpolate`` resizes bilinearly (align corners) to 512 in train mode and
+    1024 in eval mode (``layers.py:186-188``).
+    """
+
+    n_class: int
+    interpolate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.n_class == 3:  # CORAL head
+            out = nn.Conv(1, (1, 1), use_bias=False, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="conv")(x)
+            bias = self.param("coral_bias", _coral_bias_init, (3,))
+            out = out + bias.astype(out.dtype)
+        else:
+            out = nn.Conv(self.n_class, (1, 1), use_bias=True, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="conv")(x)
+        if self.interpolate:
+            size = (512, 512) if train else (1024, 1024)
+            out = interpolate_bilinear(out, size)
+        return out

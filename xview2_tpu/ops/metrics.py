@@ -1,0 +1,92 @@
+"""Streaming distributed F1 metric as a pytree state.
+
+Reimplements the reference metric (``/root/reference/utils/f1.py``)
+TPU-natively: per-class tp/fp/fn counters live in a small pytree that is
+updated inside the jitted eval step; under a sharded batch the sums are global
+automatically (GSPMD inserts the cross-replica reduction that the reference
+obtained via ``dist_reduce_fx="sum"``, ``f1.py:24-26``).
+
+Semantics preserved exactly:
+
+* label conversion per head type (``f1.py:7-15``): mse -> round(relu)+1
+  clipped at 4; coral -> count of sigmoid>0.5 plus 1; else argmax+1,
+* post-task restriction to target building pixels (``f1.py:32-34``) done as a
+  masked count instead of a gather,
+* ``f1 = 200*tp/(2tp+fp+fn)`` and damage aggregate = harmonic mean with the
+  1e-6 guard (``f1.py:44-49``), including the reference's NaN when a class
+  never occurs (0/0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class F1State(NamedTuple):
+    tp: Array  # (n_class - 1,)
+    fp: Array
+    fn: Array
+
+
+def init_f1_state(n_class: int) -> F1State:
+    z = jnp.zeros((n_class - 1,), jnp.float32)
+    return F1State(tp=z, fp=z, fn=z)
+
+
+def convert_to_labels(loss_str: str, logits: Array) -> Array:
+    """Logits -> 1-based damage labels (reference ``f1.py:7-15``)."""
+    if loss_str == "mse":
+        preds = jnp.round(jax.nn.relu(logits[..., 0])) + 1.0
+        preds = jnp.minimum(preds, 4.0)
+        return preds.astype(jnp.int32)
+    if loss_str == "coral":
+        return jnp.sum(jax.nn.sigmoid(logits) > 0.5, axis=-1).astype(jnp.int32) + 1
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
+
+
+def update_f1_state(
+    state: F1State,
+    logits: Array,
+    targets: Array,
+    *,
+    n_class: int,
+    loss_str: str,
+) -> F1State:
+    """Accumulate tp/fp/fn from one batch of NHWC logits and (B,H,W) targets."""
+    targets = targets.astype(jnp.int32)
+    if n_class == 5:
+        preds = convert_to_labels(loss_str, logits.astype(jnp.float32))
+        valid = (targets > 0).astype(jnp.float32)
+    else:
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid = jnp.ones(targets.shape, jnp.float32)
+
+    tps, fps, fns = [], [], []
+    for i in range(1, n_class):
+        p = (preds == i)
+        t = (targets == i)
+        tps.append(jnp.sum(valid * (p & t)))
+        fns.append(jnp.sum(valid * ((~p) & t)))
+        fps.append(jnp.sum(valid * (p & (~t))))
+    return F1State(
+        tp=state.tp + jnp.stack(tps),
+        fp=state.fp + jnp.stack(fps),
+        fn=state.fn + jnp.stack(fns),
+    )
+
+
+def compute_f1(state: F1State, n_class: int) -> Tuple[Array, Optional[Array]]:
+    """Finalize: per-class F1 (x100); damage aggregate = harmonic mean.
+
+    Returns ``(scalar_f1, per_class_f1 or None)`` matching ``f1.py:44-49``.
+    """
+    f1_score = 200.0 * state.tp / (2.0 * state.tp + state.fp + state.fn)
+    if n_class == 5:
+        f1 = 4.0 / jnp.sum(1.0 / (f1_score + 1e-6))
+        return f1, f1_score
+    return f1_score[0], None
