@@ -79,6 +79,7 @@ class Config:
     # --- TPU-native extensions (not present in the reference) ---
     profile: bool = False  # capture a jax.profiler trace for the first steps
     index_csv: Optional[str] = None  # path to index.csv (defaults to bundled)
+    train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -200,6 +201,7 @@ def build_parser() -> ArgumentParser:
     # TPU-native extensions
     arg("--profile", action="store_true", help="Capture a jax.profiler trace of the first training steps")
     arg("--index_csv", type=str, default=None, help="Path to train index.csv (defaults to bundled copy)")
+    arg("--train_crop", type=int, default=512, help="Training crop size")
     return parser
 
 

@@ -1,0 +1,89 @@
+"""Train-index builder: ``index.csv`` generation.
+
+Equivalent of ``/root/reference/utils/generate_idx.py``: for every pre/post
+image pair, drop excluded indices, drop tiles whose pre-AND-post foreground
+bounding box is smaller than 512px in either dimension, and record per-image
+presence flags for damage classes 1-4.  The resulting CSV drives train-set
+selection (pre: all rows; post: rows with any damage flag).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from joblib import Parallel, delayed
+from PIL import Image
+
+
+def _foreground_box(img_pre: np.ndarray, img_post: np.ndarray):
+    """Intersection bbox of the non-black regions of the pair."""
+    h_pre, w_pre = np.where(img_pre.max(axis=-1) > 0)
+    h_post, w_post = np.where(img_post.max(axis=-1) > 0)
+    if h_pre.size == 0 or h_post.size == 0:
+        return 0, 0, 0, 0
+    min_h = max(h_pre.min(), h_post.min())
+    max_h = min(h_pre.max(), h_post.max())
+    min_w = max(w_pre.min(), w_post.min())
+    max_w = min(w_pre.max(), w_post.max())
+    return min_h, max_h, min_w, max_w
+
+
+def build_row(idx: int, img_pre_path: str, img_post_path: str,
+              lbl_post_path: str, excluded: set, min_size: int = 512):
+    if idx in excluded:
+        return None
+    img_pre = np.asarray(Image.open(img_pre_path).convert("RGB"))
+    img_post = np.asarray(Image.open(img_post_path).convert("RGB"))
+    min_h, max_h, min_w, max_w = _foreground_box(img_pre, img_post)
+    if (max_h - min_h) < min_size or (max_w - min_w) < min_size:
+        return None
+    lbl = np.asarray(Image.open(lbl_post_path))
+    present = set(np.unique(lbl).tolist())
+    row = {"idx": idx}
+    for c in (1, 2, 3, 4):
+        row[str(c)] = 1 if c in present else 0
+    return row
+
+
+def generate_index(data_dir: str, out_csv: str,
+                   exclude_path: Optional[str] = None, n_jobs: int = -1) -> pd.DataFrame:
+    imgs_pre = sorted(glob.glob(os.path.join(data_dir, "images", "*pre*")))
+    imgs_post = sorted(glob.glob(os.path.join(data_dir, "images", "*post*")))
+    lbls_post = sorted(glob.glob(os.path.join(data_dir, "targets", "*post*")))
+    assert len(imgs_pre) == len(imgs_post) == len(lbls_post) and imgs_pre, \
+        f"unpaired data under {data_dir}"
+    excluded = set()
+    if exclude_path and os.path.exists(exclude_path):
+        with open(exclude_path) as f:
+            excluded = set(json.load(f))
+    rows = Parallel(n_jobs=n_jobs)(
+        delayed(build_row)(i, imgs_pre[i], imgs_post[i], lbls_post[i], excluded)
+        for i in range(len(imgs_pre)))
+    rows = [r for r in rows if r is not None]
+    df = pd.DataFrame(rows)
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    df.to_csv(out_csv, index=False)
+    return df
+
+
+def main(argv=None) -> int:
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--data", type=str, default="/data/train",
+                        help="Train split dir with images/ and targets/")
+    parser.add_argument("--out", type=str, required=True, help="Output CSV path")
+    parser.add_argument("--exclude", type=str, default=None,
+                        help="JSON list of excluded indices")
+    parser.add_argument("--n_jobs", type=int, default=-1)
+    args = parser.parse_args(argv)
+    generate_index(args.data, args.out, args.exclude, args.n_jobs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,203 @@
+"""Host-side input pipeline: file discovery, index selection, decode, batch.
+
+The division of labor is TPU-native: the host only discovers files, decodes
+PNGs (thread pool, zlib/C under PIL) and assembles raw uint8 batches; every
+hot per-pixel transform (crop/zoom/flip/noise/normalize/AutoAugment) runs on
+device inside the jitted train step (see ``ops/augment.py``).  This replaces
+the reference's 8-worker-per-rank albumentations pipeline
+(``/root/reference/data_loading/pytorch_loader.py``).
+
+Semantics preserved:
+ * directory layout ``{data}/{train,test,holdout}/{images,targets}`` with
+   ``*pre*`` / ``*post*`` sorted-glob pairing (``pytorch_loader.py:32-36``,
+   ``data_module.py:12-14``),
+ * train index restriction from ``index.csv`` — pre-task trains on all rows,
+   post-task on the union of rows with any damage-class flag
+   (``pytorch_loader.py:64-65, 101-107``),
+ * train batches shuffled, ``drop_last``; eval sequential, last partial batch
+   kept (``data_module.py:16-29``) — padded with a validity mask so shapes
+   stay static under jit.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from glob import glob
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def load_data(path: str, dtype: str) -> Tuple[List[str], List[str]]:
+    """Sorted image/target pairing (reference pytorch_loader.py:32-36)."""
+    imgs = sorted(glob(os.path.join(path, "images", f"*{dtype}*")))
+    lbls = sorted(glob(os.path.join(path, "targets", f"*{dtype}*")))
+    assert len(imgs) == len(lbls) and len(imgs) > 0, \
+        f"no paired data under {path} for {dtype!r} ({len(imgs)} imgs, {len(lbls)} lbls)"
+    return imgs, lbls
+
+
+def read_index_csv(path: str, task_type: str) -> List[int]:
+    """Train-index selection (reference pytorch_loader.py:64-65, 101-107)."""
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    if task_type == "pre":
+        return df["idx"].tolist()
+    idx: List[int] = []
+    for c in ("1", "2", "3", "4"):
+        idx.extend(df[df[c] == 1]["idx"].values.tolist())
+    return sorted(set(idx))
+
+
+def _decode_image(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    return arr
+
+
+def _decode_mask(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        arr = np.asarray(im, np.uint8)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr
+
+
+@dataclass
+class Batch:
+    image: np.ndarray  # uint8 (B, H, W, 3|6)
+    mask: np.ndarray   # uint8 (B, H, W)
+    valid: np.ndarray  # float32 (B,)
+
+
+class XView2Dataset:
+    """Resolves the sample list for one split/task."""
+
+    def __init__(self, path: str, task_type: str, training: bool,
+                 index_csv: Optional[str] = None):
+        self.task_type = task_type
+        self.imgs_pre, self.lbls_pre = load_data(path, "pre")
+        if task_type == "post" or not training:
+            self.imgs_post, self.lbls_post = load_data(path, "post")
+            assert len(self.imgs_pre) == len(self.imgs_post)
+        if training and index_csv is not None:
+            self.indices = read_index_csv(index_csv, task_type)
+        else:
+            self.indices = list(range(len(self.imgs_pre)))
+        self.training = training
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def item_paths(self, i: int):
+        """(image paths, label path) for logical sample ``i``."""
+        idx = self.indices[i]
+        if self.task_type == "pre":
+            if self.training:
+                return (self.imgs_pre[idx],), self.lbls_pre[idx]
+            # eval on pre task still reads the pre image/labels only
+            return (self.imgs_pre[idx],), self.lbls_pre[idx]
+        return (self.imgs_pre[idx], self.imgs_post[idx]), self.lbls_post[idx]
+
+    def load_item(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_paths, lbl_path = self.item_paths(i)
+        imgs = [_decode_image(p) for p in img_paths]
+        img = imgs[0] if len(imgs) == 1 else np.concatenate(imgs, axis=2)
+        return img, _decode_mask(lbl_path)
+
+
+class Loader:
+    """Threaded batch loader with background prefetch.
+
+    Train mode: per-epoch shuffle (seeded), drop_last.  Eval mode: sequential,
+    final partial batch zero-padded with ``valid`` mask.
+    """
+
+    def __init__(self, dataset: XView2Dataset, batch_size: int, *,
+                 shuffle: bool, drop_last: bool, num_workers: int = 8,
+                 seed: int = 0, prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 100003 + self.epoch)
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._order()
+        self.epoch += 1
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def assemble(batch_ids: Sequence[int]) -> Batch:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                items = list(pool.map(self.ds.load_item, batch_ids))
+            imgs = np.stack([it[0] for it in items])
+            msks = np.stack([it[1] for it in items])
+            valid = np.ones((len(items),), np.float32)
+            pad = self.batch_size - len(items)
+            if pad > 0:
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+                msks = np.concatenate([msks, np.zeros((pad,) + msks.shape[1:], msks.dtype)])
+                valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+            return Batch(image=imgs, mask=msks, valid=valid)
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    ids = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(assemble(ids))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def make_loaders(cfg) -> Tuple[Loader, Loader, Loader]:
+    """DataModule equivalent (reference data_loading/data_module.py)."""
+    train_path = os.path.join(cfg.data, "train")
+    val_path = os.path.join(cfg.data, "test")
+    test_path = os.path.join(cfg.data, "holdout")
+    train_ds = XView2Dataset(train_path, cfg.type, True, index_csv=cfg.index_csv)
+    val_ds = XView2Dataset(val_path, cfg.type, False)
+    test_ds = XView2Dataset(test_path, cfg.type, False)
+    train = Loader(train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+                   num_workers=cfg.num_workers, seed=cfg.seed)
+    val = Loader(val_ds, cfg.val_batch_size, shuffle=False, drop_last=False,
+                 num_workers=cfg.num_workers)
+    test = Loader(test_ds, cfg.val_batch_size, shuffle=False, drop_last=False,
+                  num_workers=cfg.num_workers)
+    return train, val, test

@@ -1,0 +1,134 @@
+"""ResNet-50/101/152 encoder backbones in Flax (NHWC, bf16-friendly).
+
+Semantics follow torchvision's Bottleneck ResNet including
+``replace_stride_with_dilation`` rewiring, which the reference wires as
+``[False, dilation == 4, dilation in [2, 4]]`` (``/root/reference/model/unet.py:55``):
+a "dilated" stage keeps stride 1 and multiplies the running dilation by the
+stage's nominal stride, with the first block of the stage using the *previous*
+dilation (torchvision ``_make_layer`` behavior).
+
+The encoder is exposed as five stage callables matching the reference slicing
+(``model/unet.py:80-84``): stage1 = stem conv+BN+ReLU, stage2 = maxpool +
+layer1, stage3..5 = layer2..4.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from xview2_tpu.models.layers import BN_EPS, BN_MOMENTUM, torch_conv_init
+
+Array = jax.Array
+Dtype = Any
+
+RESNET_LAYERS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+def _bn(dtype, train, name=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, dtype=dtype, name=name)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride, dilation) -> 1x1(x4) + skip."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_conv_init,
+                      dtype=self.dtype, name="conv1")(x)
+        out = _bn(self.dtype, train, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=self.dilation, kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, kernel_init=torch_conv_init, dtype=self.dtype,
+                      name="conv2")(out)
+        out = _bn(self.dtype, train, "bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      kernel_init=torch_conv_init, dtype=self.dtype, name="conv3")(out)
+        out = _bn(self.dtype, train, "bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride), use_bias=False,
+                               kernel_init=torch_conv_init, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = _bn(self.dtype, train, "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetStage(nn.Module):
+    """One torchvision ``layerN``: first block may stride/downsample."""
+
+    planes: int
+    num_blocks: int
+    stride: int = 1
+    first_dilation: int = 1  # dilation used by block 0 (torchvision "previous_dilation")
+    dilation: int = 1        # dilation used by blocks 1..n-1
+    in_planes_differ: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = Bottleneck(self.planes, stride=self.stride, dilation=self.first_dilation,
+                       downsample=self.in_planes_differ or self.stride != 1,
+                       dtype=self.dtype, name="block0")(x, train)
+        for i in range(1, self.num_blocks):
+            x = Bottleneck(self.planes, stride=1, dilation=self.dilation,
+                           downsample=False, dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class ResNetStem(nn.Module):
+    """7x7/2 conv + BN + ReLU (stage 1 in the reference slicing)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=torch_conv_init, dtype=self.dtype, name="conv1")(x)
+        x = _bn(self.dtype, train, "bn1")(x)
+        return nn.relu(x)
+
+
+def max_pool_3x3_s2(x: Array) -> Array:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def resnet_stage_plan(arch: str, dilation: int) -> Sequence[dict]:
+    """Stage hyperparameters for layer1..4 after dilation rewiring.
+
+    Mirrors torchvision ``_make_layer`` with
+    ``replace_stride_with_dilation=[False, dilation==4, dilation in (2,4)]``.
+    """
+    layers = RESNET_LAYERS[arch]
+    replace = [False, dilation == 4, dilation in (2, 4)]
+    plans = []
+    current_dilation = 1
+    strides = [1, 2, 2, 2]
+    for i, (blocks, stride) in enumerate(zip(layers, strides)):
+        dilate = False if i == 0 else replace[i - 1]
+        prev = current_dilation
+        if dilate:
+            current_dilation *= stride
+            stride = 1
+        plans.append(dict(planes=64 * (2 ** i), num_blocks=blocks, stride=stride,
+                          first_dilation=prev, dilation=current_dilation))
+    return plans

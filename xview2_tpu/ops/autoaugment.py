@@ -1,0 +1,324 @@
+"""ImageNet AutoAugment policy as pure-JAX on-device ops.
+
+Re-implements the 25-subpolicy / 14-op ImageNet AutoAugment pipeline the
+reference runs through PIL on CPU workers
+(``/root/reference/data_loading/autoaugment.py``), as vectorized jit-able
+image ops (SURVEY.md §2.2 "PIL" row).  Policy/magnitude tables follow the
+AutoAugment paper (Cubuk et al., 2019).
+
+Semantics notes vs the PIL implementation:
+
+* Spatial ops (shear/translate/rotate) are co-applied to the mask with
+  nearest sampling and zero fill; the reference resampled masks with the same
+  (bicubic) filter as the image, corrupting label values at edges — fixed.
+* For pre/post image pairs, the random +-1 sign of an op is shared across
+  image, pair image, and mask.  The reference sampled a fresh sign per call
+  (``autoaugment.py:127-137``), so a pair could shear in *opposite*
+  directions and the mask in a third — fixed (deliberate, documented).
+* Image resampling for geometric ops is bilinear (PIL used bicubic for
+  shears, nearest for translate/rotate); augmentation-level difference only.
+* The dispatch is two ``lax.switch`` calls over the 14-op table with scalar
+  (policy-indexed) magnitudes — one compiled program covers all 25
+  subpolicies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# op ids
+SHEAR_X, SHEAR_Y, TRANS_X, TRANS_Y, ROTATE = 0, 1, 2, 3, 4
+COLOR, POSTERIZE, SOLARIZE, CONTRAST, SHARPNESS = 5, 6, 7, 8, 9
+BRIGHTNESS, AUTOCONTRAST, EQUALIZE, INVERT = 10, 11, 12, 13
+
+_SPATIAL = (SHEAR_X, SHEAR_Y, TRANS_X, TRANS_Y, ROTATE)
+_SIGNED = (SHEAR_X, SHEAR_Y, TRANS_X, TRANS_Y, COLOR, CONTRAST, SHARPNESS, BRIGHTNESS)
+
+_OP_NAMES = {
+    "shearX": SHEAR_X, "shearY": SHEAR_Y, "translateX": TRANS_X,
+    "translateY": TRANS_Y, "rotate": ROTATE, "color": COLOR,
+    "posterize": POSTERIZE, "solarize": SOLARIZE, "contrast": CONTRAST,
+    "sharpness": SHARPNESS, "brightness": BRIGHTNESS,
+    "autocontrast": AUTOCONTRAST, "equalize": EQUALIZE, "invert": INVERT,
+}
+
+_RANGES = {
+    SHEAR_X: np.linspace(0, 0.3, 10), SHEAR_Y: np.linspace(0, 0.3, 10),
+    TRANS_X: np.linspace(0, 150 / 331, 10), TRANS_Y: np.linspace(0, 150 / 331, 10),
+    ROTATE: np.linspace(0, 30, 10), COLOR: np.linspace(0.0, 0.9, 10),
+    POSTERIZE: np.round(np.linspace(8, 4, 10), 0),
+    SOLARIZE: np.linspace(256, 0, 10), CONTRAST: np.linspace(0.0, 0.9, 10),
+    SHARPNESS: np.linspace(0.0, 0.9, 10), BRIGHTNESS: np.linspace(0.0, 0.9, 10),
+    AUTOCONTRAST: np.zeros(10), EQUALIZE: np.zeros(10), INVERT: np.zeros(10),
+}
+
+# the 25 ImageNet subpolicies: (p1, op1, m1, p2, op2, m2)
+_POLICIES_RAW = [
+    (0.4, "posterize", 8, 0.6, "rotate", 9),
+    (0.6, "solarize", 5, 0.6, "autocontrast", 5),
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+    (0.6, "posterize", 7, 0.6, "posterize", 6),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.4, "equalize", 4, 0.8, "rotate", 8),
+    (0.6, "solarize", 3, 0.6, "equalize", 7),
+    (0.8, "posterize", 5, 1.0, "equalize", 2),
+    (0.2, "rotate", 3, 0.6, "solarize", 8),
+    (0.6, "equalize", 8, 0.4, "posterize", 6),
+    (0.8, "rotate", 8, 0.4, "color", 0),
+    (0.4, "rotate", 9, 0.6, "equalize", 2),
+    (0.0, "equalize", 7, 0.8, "equalize", 8),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.6, "color", 4, 1.0, "contrast", 8),
+    (0.8, "rotate", 8, 1.0, "color", 2),
+    (0.8, "color", 8, 0.8, "solarize", 7),
+    (0.4, "sharpness", 7, 0.6, "invert", 8),
+    (0.6, "shearX", 5, 1.0, "equalize", 9),
+    (0.4, "color", 0, 0.6, "equalize", 3),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.6, "solarize", 5, 0.6, "autocontrast", 5),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.6, "color", 4, 1.0, "contrast", 8),
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+]
+
+N_POLICIES = len(_POLICIES_RAW)
+_P1 = np.array([p[0] for p in _POLICIES_RAW], np.float32)
+_OP1 = np.array([_OP_NAMES[p[1]] for p in _POLICIES_RAW], np.int32)
+_M1 = np.array([_RANGES[_OP_NAMES[p[1]]][p[2]] for p in _POLICIES_RAW], np.float32)
+_P2 = np.array([p[3] for p in _POLICIES_RAW], np.float32)
+_OP2 = np.array([_OP_NAMES[p[4]] for p in _POLICIES_RAW], np.int32)
+_M2 = np.array([_RANGES[_OP_NAMES[p[4]]][p[5]] for p in _POLICIES_RAW], np.float32)
+
+
+# --------------------------------------------------------------------------
+# geometric ops: inverse-mapped sampling with zero fill
+# --------------------------------------------------------------------------
+
+def _affine_coords(h: int, w: int, mat: Array) -> Tuple[Array, Array, Array]:
+    """dst->src mapping: src = [a, b, c; d, e, f] @ [x, y, 1] (PIL convention).
+    Returns (src_x, src_y, in_bounds) of shape (h, w)."""
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    a, b, c, d, e, f = mat
+    src_x = a * xs + b * ys + c
+    src_y = d * xs + e * ys + f
+    inb = (src_x >= 0) & (src_x <= w - 1) & (src_y >= 0) & (src_y <= h - 1)
+    return src_x, src_y, inb
+
+
+def _bilinear_gather(img: Array, src_x: Array, src_y: Array, inb: Array) -> Array:
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(src_y), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = jnp.clip(src_x - x0, 0.0, 1.0)
+    fy = jnp.clip(src_y - y0, 0.0, 1.0)
+    x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+           + p10 * (1 - fx) * fy + p11 * fx * fy)
+    return jnp.where(inb[..., None], out, 0.0)
+
+
+def _nearest_gather(img2d: Array, src_x: Array, src_y: Array, inb: Array) -> Array:
+    h, w = img2d.shape
+    xi = jnp.clip(jnp.round(src_x), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(src_y), 0, h - 1).astype(jnp.int32)
+    out = img2d[yi, xi]
+    return jnp.where(inb, out, 0)
+
+
+def _spatial_matrix(op: Array, mag: Array, h: int, w: int) -> Array:
+    """Affine dst->src coefficient vector for the 5 spatial ops."""
+    def shear_x(m):
+        return jnp.array([1.0, m, 0.0, 0.0, 1.0, 0.0])
+
+    def shear_y(m):
+        return jnp.array([1.0, 0.0, 0.0, m, 1.0, 0.0])
+
+    def trans_x(m):
+        return jnp.array([1.0, 0.0, m * w, 0.0, 1.0, 0.0])
+
+    def trans_y(m):
+        return jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, m * h])
+
+    def rot(m):
+        # PIL rotate(angle): counterclockwise about center; inverse map
+        theta = jnp.deg2rad(m)
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        # src = R(theta) @ (dst - c) + c  (inverse of ccw rotation in image coords)
+        return jnp.array([cos, -sin, cx - cos * cx + sin * cy,
+                          sin, cos, cy - sin * cx - cos * cy])
+
+    return jax.lax.switch(op, [shear_x, shear_y, trans_x, trans_y, rot], mag)
+
+
+# --------------------------------------------------------------------------
+# intensity ops (operate on float images holding uint8-scale values)
+# --------------------------------------------------------------------------
+
+def _grayscale(img3: Array) -> Array:
+    """PIL convert('L') luma (ITU-R 601-2)."""
+    return (img3[..., 0] * 299 + img3[..., 1] * 587 + img3[..., 2] * 114) / 1000.0
+
+
+def _blend(a: Array, b: Array, factor: Array) -> Array:
+    """PIL Image.blend semantics used by ImageEnhance: a + factor*(b-a)."""
+    return a + factor * (b - a)
+
+
+def _op_color(img: Array, factor: Array) -> Array:
+    gray = _grayscale(img)[..., None]
+    return jnp.clip(_blend(jnp.broadcast_to(gray, img.shape), img, factor), 0, 255)
+
+
+def _op_contrast(img: Array, factor: Array) -> Array:
+    mean = jnp.floor(jnp.mean(_grayscale(jnp.round(img))) + 0.5)
+    return jnp.clip(_blend(jnp.full_like(img, mean), img, factor), 0, 255)
+
+
+def _op_brightness(img: Array, factor: Array) -> Array:
+    return jnp.clip(img * factor, 0, 255)
+
+
+_SMOOTH_KERNEL = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+
+
+def _op_sharpness(img: Array, factor: Array) -> Array:
+    # PIL SMOOTH filter; border pixels are left untouched by ImageFilter
+    k = jnp.asarray(_SMOOTH_KERNEL).reshape(3, 3, 1, 1)
+    x = img[None]  # (1,H,W,C)
+    c = img.shape[-1]
+    kern = jnp.tile(k, (1, 1, 1, c))
+    smooth = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)[0]
+    smooth = smooth.at[0, :].set(img[0, :]).at[-1, :].set(img[-1, :])
+    smooth = smooth.at[:, 0].set(img[:, 0]).at[:, -1].set(img[:, -1])
+    return jnp.clip(_blend(smooth, img, factor), 0, 255)
+
+
+def _op_posterize(img: Array, bits: Array) -> Array:
+    shift = 2.0 ** (8 - bits)
+    return jnp.clip(jnp.floor(jnp.round(img) / shift) * shift, 0, 255)
+
+
+def _op_solarize(img: Array, threshold: Array) -> Array:
+    v = jnp.round(img)
+    return jnp.where(v < threshold, v, 255.0 - v)
+
+
+def _op_invert(img: Array, _mag: Array) -> Array:
+    return 255.0 - img
+
+
+def _op_autocontrast(img: Array, _mag: Array) -> Array:
+    # per-channel linear stretch to [0, 255] (PIL autocontrast, cutoff=0)
+    v = jnp.round(img)
+    lo = jnp.min(v, axis=(0, 1), keepdims=True)
+    hi = jnp.max(v, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-9)
+    out = jnp.where(hi > lo, (v - lo) * scale, v)
+    return jnp.clip(out, 0, 255)
+
+
+def _equalize_channel(ch: Array) -> Array:
+    """PIL ImageOps.equalize for one uint8-valued channel."""
+    v = jnp.round(ch).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[v.reshape(-1)].add(1)
+    # PIL: step = (pixels - last nonzero bin count) // 255
+    nonzero = hist > 0
+    last_nz = 255 - jnp.argmax(nonzero[::-1])
+    step = (jnp.sum(hist) - hist[last_nz]) // 255
+    csum = jnp.cumsum(hist)
+    shifted = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+    lut = (shifted + step // 2) // jnp.maximum(step, 1)
+    lut = jnp.clip(lut, 0, 255)
+    out = jnp.where(step > 0, lut[v].astype(jnp.float32), ch)
+    return out
+
+
+def _op_equalize(img: Array, _mag: Array) -> Array:
+    chans = [_equalize_channel(img[..., i]) for i in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def _apply_op(op: Array, mag: Array, img: Array, mask: Array,
+              ) -> Tuple[Array, Array]:
+    """Apply op ``op`` with signed magnitude ``mag`` to (img, mask)."""
+    h, w = mask.shape
+
+    def spatial(args):
+        im, mk = args
+        mat = _spatial_matrix(op, mag, h, w)
+        sx, sy, inb = _affine_coords(h, w, mat)
+        return _bilinear_gather(im, sx, sy, inb), _nearest_gather(mk, sx, sy, inb)
+
+    def intensity(args):
+        im, mk = args
+        branches = [
+            lambda x: _op_color(x, 1.0 + mag),
+            lambda x: _op_posterize(x, mag),
+            lambda x: _op_solarize(x, mag),
+            lambda x: _op_contrast(x, 1.0 + mag),
+            lambda x: _op_sharpness(x, 1.0 + mag),
+            lambda x: _op_brightness(x, 1.0 + mag),
+            lambda x: _op_autocontrast(x, mag),
+            lambda x: _op_equalize(x, mag),
+            lambda x: _op_invert(x, mag),
+        ]
+        return jax.lax.switch(op - COLOR, branches, im), mk
+
+    return jax.lax.cond(op < COLOR, spatial, intensity, (img, mask))
+
+
+def autoaugment_sample(rng: Array, img: Array, mask: Array) -> Tuple[Array, Array]:
+    """One ImageNet-AutoAugment draw applied to (img, mask).
+
+    ``img``: float (H, W, 3|6) in uint8 scale; 6-channel pairs get identical
+    ops on both halves.  ``mask``: int (H, W), transformed by spatial ops.
+    """
+    k_policy, k_p1, k_p2, k_s1, k_s2 = jax.random.split(rng, 5)
+    pol = jax.random.randint(k_policy, (), 0, N_POLICIES)
+    op1, m1, p1 = jnp.asarray(_OP1)[pol], jnp.asarray(_M1)[pol], jnp.asarray(_P1)[pol]
+    op2, m2, p2 = jnp.asarray(_OP2)[pol], jnp.asarray(_M2)[pol], jnp.asarray(_P2)[pol]
+
+    signed1 = jnp.isin(op1, jnp.asarray(_SIGNED))
+    signed2 = jnp.isin(op2, jnp.asarray(_SIGNED))
+    s1 = jnp.where(signed1 & jax.random.bernoulli(k_s1), -1.0, 1.0)
+    s2 = jnp.where(signed2 & jax.random.bernoulli(k_s2), -1.0, 1.0)
+
+    def run(img, mask, op, mag, do):
+        def apply(args):
+            im, mk = args
+            if im.shape[-1] == 6:
+                a, mk2 = _apply_op(op, mag, im[..., :3], mk)
+                b, _ = _apply_op(op, mag, im[..., 3:], mk)
+                return jnp.concatenate([a, b], axis=-1), mk2
+            return _apply_op(op, mag, im, mk)
+
+        return jax.lax.cond(do, apply, lambda args: args, (img, mask))
+
+    do1 = jax.random.uniform(k_p1) < p1
+    do2 = jax.random.uniform(k_p2) < p2
+    img, mask = run(img, mask, op1, m1 * s1, do1)
+    img, mask = run(img, mask, op2, m2 * s2, do2)
+    return img, mask

@@ -188,7 +188,8 @@ def make_loss_fn(loss_str: str, task_type: str) -> Callable[[Array, Array], Arra
             raise ValueError(f"unknown loss term {t!r}")
     is_post = task_type == "post"
 
-    def loss_fn(logits: Array, labels: Array) -> Array:
+    def loss_fn(logits: Array, labels: Array, sample_valid: Optional[Array] = None) -> Array:
+        """``sample_valid``: optional (B,) weights for padded eval batches."""
         labels = labels.astype(jnp.int32)
         if is_post:
             mask = ((labels > 0) & (labels != 255)).astype(jnp.float32)
@@ -196,6 +197,9 @@ def make_loss_fn(loss_str: str, task_type: str) -> Callable[[Array, Array], Arra
         else:
             mask = None
             shifted = labels
+        if sample_valid is not None:
+            sv = sample_valid.astype(jnp.float32)[:, None, None]
+            mask = sv * (mask if mask is not None else jnp.ones(labels.shape, jnp.float32))
         total = jnp.float32(0.0)
         for t in terms:
             total = total + _LOSS_FNS[t](logits, shifted, mask)

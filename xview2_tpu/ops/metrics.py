@@ -56,8 +56,13 @@ def update_f1_state(
     *,
     n_class: int,
     loss_str: str,
+    sample_valid: Optional[Array] = None,
 ) -> F1State:
-    """Accumulate tp/fp/fn from one batch of NHWC logits and (B,H,W) targets."""
+    """Accumulate tp/fp/fn from one batch of NHWC logits and (B,H,W) targets.
+
+    ``sample_valid``: optional (B,) 0/1 weights so padded eval batches (static
+    shapes under jit) don't pollute the counts.
+    """
     targets = targets.astype(jnp.int32)
     if n_class == 5:
         preds = convert_to_labels(loss_str, logits.astype(jnp.float32))
@@ -65,6 +70,8 @@ def update_f1_state(
     else:
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         valid = jnp.ones(targets.shape, jnp.float32)
+    if sample_valid is not None:
+        valid = valid * sample_valid.astype(jnp.float32)[:, None, None]
 
     tps, fps, fns = [], [], []
     for i in range(1, n_class):

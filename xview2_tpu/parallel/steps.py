@@ -1,0 +1,119 @@
+"""Jitted train / eval steps: augmentation + forward + loss + update, fused.
+
+The whole step — on-device augmentation, bf16 forward, deep-supervision loss,
+gradient, optimizer update, BN stat update — is one XLA program (reference
+equivalents: ``model/plt.py:50-77`` + apex/DDP machinery).  Under a sharded
+batch, GSPMD inserts the gradient/BN/metric collectives; there is no explicit
+pmean in user code.
+
+TTA evaluation mirrors ``plt.py:30, 42-48``: mean of logits over
+{identity, flip-H, flip-W, flip-HW}.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from xview2_tpu.config import Config
+from xview2_tpu.ops.augment import augment_sample, eval_batch
+from xview2_tpu.ops.losses import deep_supervision_loss, make_loss_fn
+from xview2_tpu.ops.metrics import F1State, update_f1_state
+
+Array = jax.Array
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def init_train_state(cfg: Config, model, tx: optax.GradientTransformation,
+                     rng: Array, sample_shape: Tuple[int, ...]) -> TrainState:
+    variables = model.init(rng, jnp.zeros((1,) + tuple(sample_shape), jnp.float32), True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
+                    crop: int = 512,
+                    ) -> Callable[[TrainState, Array, Array, Array], Tuple[TrainState, Array]]:
+    """Build the fused augment+train step.
+
+    ``images`` are raw uint8 (B, 1024, 1024, C) tiles, ``masks`` raw uint8
+    labels; augmentation to ``crop``-size crops (512, reference
+    ``pytorch_loader.py:57``) runs on device inside the same program.
+    """
+    loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
+    use_aa = cfg.autoaugment
+
+    def step_fn(state: TrainState, images: Array, masks: Array, rng: Array):
+        keys = jax.random.split(rng, images.shape[0])
+        aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop)
+        x, y = jax.vmap(aug)(keys, images, masks)
+
+        def objective(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, True, mutable=["batch_stats"])
+            if isinstance(outs, list):
+                loss = deep_supervision_loss(loss_fn, outs, y)
+            else:
+                loss = loss_fn(outs, y)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt_state)
+        return new_state, loss
+
+    return step_fn
+
+
+def tta_forward(model, variables, x: Array, use_tta: bool) -> Array:
+    """Flip-averaged logits (reference plt.py:42-48); NHWC flip axes (1, 2)."""
+    pred = model.apply(variables, x, False)
+    if not use_tta:
+        return pred
+    for axes in ((1,), (2,), (1, 2)):
+        flipped = jnp.flip(x, axis=axes)
+        pred = pred + jnp.flip(model.apply(variables, flipped, False), axis=axes)
+    return pred / 4.0
+
+
+def make_eval_step(cfg: Config, model):
+    """Build the eval step: normalize, TTA forward, loss, F1 accumulate.
+
+    Returns ``(f1_state, loss_sum, loss_count, logits)``; ``valid`` is a (B,)
+    0/1 vector so padded tail batches don't pollute metrics.  ``logits`` are
+    returned for prediction dumping in ``--exec_mode eval``.
+    """
+    loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
+    n_class = cfg.n_metric_class
+
+    def step_fn(params, batch_stats, f1_state: F1State,
+                images: Array, masks: Array, valid: Array):
+        x = eval_batch(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
+        loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)
+        f1_state = update_f1_state(f1_state, logits, masks, n_class=n_class,
+                                   loss_str=cfg.loss_str, sample_valid=valid)
+        return f1_state, loss, logits
+
+    return step_fn

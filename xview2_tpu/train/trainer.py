@@ -1,0 +1,257 @@
+"""Epoch driver: fit/test orchestration (replaces PL Trainer, reference main.py:96-122).
+
+Semantics map:
+
+* DDP over N GPUs  ->  1-D ``data`` mesh over ``--gpus`` devices; the global
+  train batch is ``batch_size * num_devices`` (the reference DataLoader was
+  per-rank, ``main.py:35``), and ``steps_per_epoch`` for the Noam schedule is
+  ``len(train_ds) // (batch_size * devices)`` (reference ``plt.py:170``).
+* AMP fp16 + loss scaling  ->  bf16 compute policy (no scaling needed).
+* sync-BN / gradient all-reduce / metric reduction  ->  GSPMD collectives
+  derived from shardings; nothing explicit here.
+* ModelCheckpoint(best by f1_score, save_last) + EarlyStopping(patience) ->
+  Orbax best/last checkpoints + patience counter.  NB the reference sets
+  ``min_epochs == max_epochs`` (``main.py:103-104``) which de-facto disables
+  early stopping; we honor ``--patience`` as documented/intended.
+* dllogger JSON-lines schema preserved (see train/logging.py).
+
+Eval artifacts (``--exec_mode eval``) reproduce ``plt.py:126-144`` bit-for-
+class: localization probs = sigmoid of channel 1; damage probs = softmax
+(channel-first, as post_process expects), CORAL/MSE label maps; filenames
+``test_{localization|damage}_{idx:05d}.npy`` + ``..._target.png``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from xview2_tpu.config import Config
+from xview2_tpu.data.pipeline import Loader, XView2Dataset, make_loaders
+from xview2_tpu.models.unet import build_model
+from xview2_tpu.ops.metrics import compute_f1, init_f1_state
+from xview2_tpu.parallel import checkpoint as ckpt_lib
+from xview2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from xview2_tpu.parallel.steps import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from xview2_tpu.parallel.transplant import transplant_encoder
+from xview2_tpu.train.logging import MetricsLogger, epoch_metrics, test_metrics
+from xview2_tpu.train.optimizers import build_optimizer
+from xview2_tpu.train.scheduler import noam_schedule
+
+
+def _pad_to(batch: int, devices: int) -> int:
+    return -(-batch // devices) * devices
+
+
+class Runner:
+    """Holds mesh, model, steps and state for one run."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.gpus)
+        self.n_dev = cfg.gpus
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
+        self.model = build_model(cfg)
+        self.global_train_batch = cfg.batch_size * self.n_dev
+        self.global_eval_batch = _pad_to(cfg.val_batch_size * self.n_dev, self.n_dev)
+
+    # ---- optimizer / schedule ----
+    def build_tx(self, steps_per_epoch: int):
+        cfg = self.cfg
+        if cfg.use_scheduler:
+            lr = noam_schedule(cfg.init_lr, cfg.lr, cfg.final_lr,
+                               cfg.warmup, cfg.epochs, max(steps_per_epoch, 1))
+        else:
+            lr = cfg.lr
+        return build_optimizer(cfg, lr)
+
+    # ---- state ----
+    def init_state(self, tx) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        sample = (64, 64, self.cfg.in_channels)
+        state = init_train_state(self.cfg, self.model, tx, rng, sample)
+        return jax.device_put(state, self.replicated)
+
+    def put_batch(self, *arrays):
+        return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
+
+    # ---- eval loop ----
+    def run_eval(self, eval_step, params, batch_stats, loader: Loader):
+        f1_state = jax.device_put(init_f1_state(self.cfg.n_metric_class), self.replicated)
+        losses = []
+        all_logits = None
+        for batch in loader:
+            imgs, msks, valid = self.put_batch(batch.image, batch.mask, batch.valid)
+            f1_state, loss, _ = eval_step(params, batch_stats, f1_state, imgs, msks, valid)
+            losses.append(loss)
+        val_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        f1, per_class = compute_f1(jax.device_get(f1_state), self.cfg.n_metric_class)
+        per_class = None if per_class is None else np.asarray(per_class)
+        return float(f1), per_class, val_loss
+
+
+def fit(cfg: Config) -> str:
+    """Train with per-epoch validation; returns the best checkpoint path."""
+    runner = Runner(cfg)
+    train_loader, val_loader, _ = make_loaders_for(runner)
+    steps_per_epoch = len(train_loader)
+    tx = runner.build_tx(steps_per_epoch)
+    state = runner.init_state(tx)
+
+    start_epoch = 0
+    best_f1, best_epoch = 0.0, 0
+    resume_path = cfg.ckpt if ckpt_lib.checkpoint_exists(cfg.ckpt) else None
+    if resume_path:
+        payload, meta = ckpt_lib.restore_checkpoint(resume_path, state)
+        state = TrainState(step=jnp.asarray(payload["step"]), params=payload["params"],
+                           batch_stats=payload["batch_stats"], opt_state=payload["opt_state"])
+        state = jax.device_put(state, runner.replicated)
+        start_epoch = meta["epoch"] + 1
+        best_f1, best_epoch = meta["best_f1"], meta["best_epoch"]
+        print(f"resumed from {resume_path} at epoch {start_epoch}", flush=True)
+
+    if cfg.type == "post" and cfg.ckpt_pre and ckpt_lib.checkpoint_exists(cfg.ckpt_pre):
+        loc_payload, _ = ckpt_lib.restore_raw(cfg.ckpt_pre)
+        new_params, new_stats = transplant_encoder(
+            cfg.dmg_model, jax.device_get(state.params), jax.device_get(state.batch_stats),
+            loc_payload["params"], loc_payload.get("batch_stats", {}))
+        state = state.replace(params=new_params, batch_stats=new_stats)
+        state = jax.device_put(state, runner.replicated)
+        print(f"transplanted localization encoder from {cfg.ckpt_pre}", flush=True)
+
+    train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop),
+                         donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg, runner.model))
+    logger = MetricsLogger(cfg.results, cfg.logname)
+    base_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+
+    best_path = os.path.join(cfg.results, "checkpoints", "best")
+    last_path = os.path.join(cfg.results, "checkpoints", "last")
+    patience_left = cfg.patience
+
+    if cfg.profile:
+        jax.profiler.start_trace(os.path.join(cfg.results, "profile"))
+
+    global_step = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        n_imgs = 0
+        for batch in train_loader:
+            rng = jax.random.fold_in(base_rng, global_step)
+            imgs, msks = runner.put_batch(batch.image, batch.mask)
+            state, loss = train_step(state, imgs, msks, rng)
+            global_step += 1
+            n_imgs += batch.image.shape[0]
+            if cfg.profile and global_step == 6:
+                jax.profiler.stop_trace()
+        train_time = time.time() - t0
+
+        f1, per_class, val_loss = runner.run_eval(eval_step, state.params,
+                                                  state.batch_stats, val_loader)
+        improved = f1 >= best_f1
+        if improved:
+            best_f1, best_epoch = f1, epoch
+            patience_left = cfg.patience
+            ckpt_lib.save_checkpoint(best_path, jax.device_get(state), epoch=epoch,
+                                     best_f1=best_f1, best_epoch=best_epoch, cfg=cfg)
+        else:
+            patience_left -= 1
+        ckpt_lib.save_checkpoint(last_path, jax.device_get(state), epoch=epoch,
+                                 best_f1=best_f1, best_epoch=best_epoch, cfg=cfg)
+
+        data = epoch_metrics(f1, val_loss, best_f1, per_class)
+        data["imgs_per_sec"] = round(n_imgs / max(train_time, 1e-9), 2)
+        logger.log(epoch, data)
+
+        if patience_left <= 0:
+            print(f"early stopping at epoch {epoch} (patience {cfg.patience})", flush=True)
+            break
+
+    logger.close()
+    return best_path
+
+
+def make_loaders_for(runner: Runner):
+    """Loaders with device-count-aware global batch sizes."""
+    cfg = runner.cfg
+    train_loader, val_loader, test_loader = make_loaders(cfg)
+    train_loader.batch_size = runner.global_train_batch
+    val_loader.batch_size = runner.global_eval_batch
+    test_loader.batch_size = runner.global_eval_batch
+    return train_loader, val_loader, test_loader
+
+
+def _save_predictions(cfg: Config, logits: np.ndarray, targets: np.ndarray,
+                      valid: np.ndarray, start_idx: int) -> int:
+    """Write per-image prob .npy + target .png (reference plt.py:126-144)."""
+    probs_dir = os.path.join(cfg.results, "probs")
+    targets_dir = os.path.join(cfg.results, "targets")
+    os.makedirs(probs_dir, exist_ok=True)
+    os.makedirs(targets_dir, exist_ok=True)
+    task = "localization" if cfg.type == "pre" else "damage"
+    idx = start_idx
+    for logit, target, v in zip(logits, targets, valid):
+        if v <= 0:
+            continue
+        if cfg.type == "pre":
+            prob = jax.nn.sigmoid(logit[..., 1])
+            prob = np.asarray(prob, np.float32)
+        elif cfg.loss_str == "coral":
+            prob = np.asarray(np.sum(jax.nn.sigmoid(logit) > 0.5, axis=-1) + 1, np.float32)
+        elif cfg.loss_str == "mse":
+            prob = np.asarray(np.round(np.maximum(logit[..., 0], 0)) + 1, np.float32)
+        else:
+            prob = np.asarray(jax.nn.softmax(logit, axis=-1), np.float32)
+            prob = np.transpose(prob, (2, 0, 1))  # channel-first, as post_process expects
+        fname = os.path.join(probs_dir, f"test_{task}_{idx:05d}")
+        np.save(fname, prob)
+        Image.fromarray(target.astype(np.uint8)).save(
+            os.path.join(targets_dir, f"test_{task}_{idx:05d}_target.png"))
+        idx += 1
+    return idx
+
+
+def test(cfg: Config) -> dict:
+    """Eval mode: restore checkpoint, run holdout, dump artifacts + metrics
+    (reference main.py:113-122 eval branch)."""
+    assert cfg.ckpt is not None and ckpt_lib.checkpoint_exists(cfg.ckpt), \
+        "No checkpoint found for evaluation"
+    # model hyperparameters come from the checkpoint (Model.load_from_checkpoint,
+    # main.py:74); infra flags from the current CLI.
+    saved = ckpt_lib.load_config(cfg.ckpt)
+    cfg = saved.replace(exec_mode="eval", data=cfg.data, results=cfg.results,
+                        gpus=cfg.gpus, num_workers=cfg.num_workers,
+                        val_batch_size=cfg.val_batch_size, logname=cfg.logname,
+                        ckpt=cfg.ckpt)
+    runner = Runner(cfg)
+    payload, _ = ckpt_lib.restore_raw(cfg.ckpt)
+    params = jax.device_put(payload["params"], runner.replicated)
+    batch_stats = jax.device_put(payload["batch_stats"], runner.replicated)
+
+    _, _, test_loader = make_loaders_for(runner)
+    eval_step = jax.jit(make_eval_step(cfg, runner.model))
+    f1_state = jax.device_put(init_f1_state(cfg.n_metric_class), runner.replicated)
+    idx = 0
+    for batch in test_loader:
+        imgs, msks, valid = runner.put_batch(batch.image, batch.mask, batch.valid)
+        f1_state, _, logits = eval_step(params, batch_stats, f1_state, imgs, msks, valid)
+        idx = _save_predictions(cfg, np.asarray(jax.device_get(logits), np.float32),
+                                batch.mask, batch.valid, idx)
+    f1, per_class = compute_f1(jax.device_get(f1_state), cfg.n_metric_class)
+    logger = MetricsLogger(cfg.results, cfg.logname)
+    data = test_metrics(float(f1), None if per_class is None else np.asarray(per_class))
+    logger.log((), data)
+    logger.close()
+    return data
