@@ -1,0 +1,95 @@
+"""End-to-end slice: synthetic data -> fit -> checkpoints -> eval artifacts.
+
+This is the SURVEY.md §7.2 "minimum end-to-end slice" exercised in miniature:
+small synthetic tiles, ResNet-50 localization U-Net, 2 epochs, then eval-mode
+artifact dump and metric logging.  Runs fully on the CPU backend.
+"""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xview2_tpu.config import Config
+from xview2_tpu.data.synthetic import make_synthetic_dataset
+from xview2_tpu.parallel import checkpoint as ckpt_lib
+from xview2_tpu.train import trainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("xbd_e2e")
+    make_synthetic_dataset(str(root), n_train=4, n_val=2, n_test=2, size=96)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained(synth_root, tmp_path_factory):
+    results = str(tmp_path_factory.mktemp("results"))
+    cfg = Config(type="pre", encoder="resnet50", precision=32, loss_str="ce+dice",
+                 data=synth_root, results=results, batch_size=2, val_batch_size=2,
+                 epochs=2, num_workers=2, train_crop=64, gpus=1)
+    best = trainer.fit(cfg)
+    return cfg, best
+
+
+def test_fit_writes_checkpoints_and_logs(trained):
+    cfg, best = trained
+    assert ckpt_lib.checkpoint_exists(best)
+    assert ckpt_lib.checkpoint_exists(os.path.join(cfg.results, "checkpoints", "last"))
+    log_path = os.path.join(cfg.results, "logs.json")
+    lines = [json.loads(l) for l in open(log_path)]
+    assert len(lines) == 2  # one line per epoch
+    for line in lines:
+        assert {"f1", "val_loss", "top_f1"} <= set(line["data"].keys())
+    meta = ckpt_lib.load_metadata(best)
+    assert meta["config"]["encoder"] == "resnet50"
+
+
+def test_resume_continues_epochs(trained):
+    cfg, _ = trained
+    last = os.path.join(cfg.results, "checkpoints", "last")
+    cfg2 = cfg.replace(epochs=3, ckpt=last)
+    trainer.fit(cfg2)
+    lines = [json.loads(l) for l in open(os.path.join(cfg.results, "logs.json"))]
+    # 2 original + 1 resumed epoch
+    assert [l["step"] for l in lines] == [0, 1, 2]
+
+
+def test_eval_dumps_artifacts(trained, synth_root):
+    cfg, best = trained
+    eval_cfg = Config(type="pre", exec_mode="eval", data=synth_root,
+                      results=cfg.results, ckpt=best, val_batch_size=2,
+                      num_workers=2, gpus=1)
+    metrics = trainer.test(eval_cfg)
+    assert "f1" in metrics
+    probs = sorted(glob.glob(os.path.join(cfg.results, "probs", "*.npy")))
+    targets = sorted(glob.glob(os.path.join(cfg.results, "targets", "*.png")))
+    assert len(probs) == 2 and len(targets) == 2  # holdout has 2 tiles
+    prob = np.load(probs[0])
+    assert prob.shape == (96, 96)  # sigmoid of channel 1 (reference plt.py:128)
+    assert prob.min() >= 0.0 and prob.max() <= 1.0
+    assert os.path.basename(probs[0]) == "test_localization_00000.npy"
+    assert os.path.basename(targets[0]) == "test_localization_00000_target.png"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from xview2_tpu.parallel.steps import TrainState
+
+    state = TrainState(step=jnp.asarray(7), params={"w": jnp.ones((2, 2))},
+                       batch_stats={"bn": {"mean": jnp.zeros((3,))}},
+                       opt_state={"mu": jnp.full((2, 2), 0.5)})
+    cfg = Config(type="pre")
+    path = str(tmp_path / "ckpt")
+    ckpt_lib.save_checkpoint(path, state, epoch=3, best_f1=55.5, best_epoch=2, cfg=cfg)
+    restored, meta = ckpt_lib.restore_checkpoint(path, state)
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(restored["opt_state"]["mu"]),
+                                  np.full((2, 2), 0.5))
+    assert meta["epoch"] == 3 and meta["best_f1"] == 55.5
+    assert ckpt_lib.load_config(path) == cfg
