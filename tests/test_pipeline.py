@@ -67,3 +67,18 @@ def test_eval_loader_pads_with_valid_mask(synth_root):
     assert batches[0].valid.tolist() == [1.0, 1.0]
     assert batches[1].valid.tolist() == [1.0, 0.0]
     assert batches[1].image.shape == (2, 96, 96, 3)
+
+
+def test_native_decoder_matches_pil(synth_root):
+    from xview2_tpu.data import native
+    if not native.is_available():
+        pytest.skip("native decoder not built")
+    ds = XView2Dataset(os.path.join(synth_root, "train"), "post", True)
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=True, num_workers=2)
+    batch_native = next(iter(loader))
+    # force PIL path
+    loader2 = Loader(ds, batch_size=2, shuffle=False, drop_last=True, num_workers=2)
+    loader2._hw = None
+    batch_pil = next(iter(loader2))
+    np.testing.assert_array_equal(batch_native.image, batch_pil.image)
+    np.testing.assert_array_equal(batch_native.mask, batch_pil.mask)

@@ -32,6 +32,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from xview2_tpu.data import native
+
 
 def load_data(path: str, dtype: str) -> Tuple[List[str], List[str]]:
     """Sorted image/target pairing (reference pytorch_loader.py:32-36)."""
@@ -137,6 +139,40 @@ class Loader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _image_hw(self) -> Optional[Tuple[int, int]]:
+        """Probe (and cache) the dataset's tile size for the native fast path."""
+        if not hasattr(self, "_hw"):
+            self._hw = None
+            if native.is_available() and len(self.ds) > 0:
+                img_paths, _ = self.ds.item_paths(0)
+                try:
+                    self._hw = native.probe_png(img_paths[0])
+                except (IOError, RuntimeError):
+                    self._hw = None
+        return self._hw
+
+    def _assemble_native(self, batch_ids: Sequence[int]):
+        """GIL-free C++ batch decode (native/decoder.cpp); None -> PIL fallback."""
+        hw = self._image_hw()
+        if hw is None:
+            return None
+        h, w = hw
+        img_lists: List[List[str]] = []
+        lbl_paths: List[str] = []
+        for i in batch_ids:
+            img_paths, lbl = self.ds.item_paths(int(i))
+            img_lists.append(list(img_paths))
+            lbl_paths.append(lbl)
+        n_imgs = len(img_lists[0])
+        try:
+            planes = [native.decode_batch([il[j] for il in img_lists], h, w, 3,
+                                          self.num_workers) for j in range(n_imgs)]
+            msks = native.decode_batch(lbl_paths, h, w, 1, self.num_workers)[..., 0]
+        except (IOError, RuntimeError):
+            return None
+        imgs = planes[0] if n_imgs == 1 else np.concatenate(planes, axis=3)
+        return imgs, msks
+
     def _order(self) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.shuffle:
@@ -152,12 +188,16 @@ class Loader:
         stop = threading.Event()
 
         def assemble(batch_ids: Sequence[int]) -> Batch:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                items = list(pool.map(self.ds.load_item, batch_ids))
-            imgs = np.stack([it[0] for it in items])
-            msks = np.stack([it[1] for it in items])
-            valid = np.ones((len(items),), np.float32)
-            pad = self.batch_size - len(items)
+            fast = self._assemble_native(batch_ids)
+            if fast is not None:
+                imgs, msks = fast
+            else:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    items = list(pool.map(self.ds.load_item, batch_ids))
+                imgs = np.stack([it[0] for it in items])
+                msks = np.stack([it[1] for it in items])
+            valid = np.ones((len(batch_ids),), np.float32)
+            pad = self.batch_size - len(batch_ids)
             if pad > 0:
                 imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
                 msks = np.concatenate([msks, np.zeros((pad,) + msks.shape[1:], msks.dtype)])
