@@ -29,6 +29,9 @@ from xview2_tpu.config import Config
 from xview2_tpu.models.unet import build_model
 from xview2_tpu.parallel.steps import init_train_state, make_train_step
 from xview2_tpu.train.optimizers import build_optimizer
+from xview2_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 # Estimated reference per-GPU train throughput (tiles/sec): ResNet-50 U-Net,
 # 512^2 crops, batch 16, fp16 AMP on the NGC 21.03 stack.  See BASELINE.md.

@@ -1,0 +1,123 @@
+"""AutoAugment op parity vs PIL oracles (the reference's backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+from xview2_tpu.ops.autoaugment import (
+    _op_autocontrast,
+    _op_brightness,
+    _op_color,
+    _op_contrast,
+    _op_equalize,
+    _op_invert,
+    _op_posterize,
+    _op_sharpness,
+    _op_solarize,
+    _affine_coords,
+    _bilinear_gather,
+    _nearest_gather,
+    _spatial_matrix,
+    ROTATE,
+    TRANS_X,
+    autoaugment_sample,
+)
+
+RNG = np.random.default_rng(0)
+IMG = RNG.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+PIL_IMG = Image.fromarray(IMG)
+IMG_F = jnp.asarray(IMG, jnp.float32)
+
+
+def assert_close_u8(got, want, tol=1.0, frac=0.995):
+    got = np.round(np.asarray(got)).astype(np.int32)
+    want = np.asarray(want, np.int32)
+    ok = np.abs(got - want) <= tol
+    assert ok.mean() >= frac, f"only {ok.mean():.3f} of pixels within {tol}"
+
+
+def test_invert_matches_pil():
+    want = np.array(ImageOps.invert(PIL_IMG))
+    assert_close_u8(_op_invert(IMG_F, 0.0), want, tol=0)
+
+
+@pytest.mark.parametrize("bits", [4, 5, 6, 7, 8])
+def test_posterize_matches_pil(bits):
+    want = np.array(ImageOps.posterize(PIL_IMG, bits))
+    assert_close_u8(_op_posterize(IMG_F, float(bits)), want, tol=0)
+
+
+@pytest.mark.parametrize("thr", [0, 64, 128, 256])
+def test_solarize_matches_pil(thr):
+    want = np.array(ImageOps.solarize(PIL_IMG, thr))
+    assert_close_u8(_op_solarize(IMG_F, float(thr)), want, tol=0)
+
+
+def test_autocontrast_matches_pil():
+    want = np.array(ImageOps.autocontrast(PIL_IMG))
+    assert_close_u8(_op_autocontrast(IMG_F, 0.0), want, tol=1)
+
+
+def test_equalize_matches_pil():
+    want = np.array(ImageOps.equalize(PIL_IMG))
+    assert_close_u8(_op_equalize(IMG_F, 0.0), want, tol=1)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.7, 1.5, 1.9])
+def test_brightness_matches_pil(factor):
+    want = np.array(ImageEnhance.Brightness(PIL_IMG).enhance(factor))
+    assert_close_u8(_op_brightness(IMG_F, factor), want, tol=1)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.7, 1.5])
+def test_color_matches_pil(factor):
+    want = np.array(ImageEnhance.Color(PIL_IMG).enhance(factor))
+    assert_close_u8(_op_color(IMG_F, factor), want, tol=2, frac=0.98)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.7, 1.5])
+def test_contrast_matches_pil(factor):
+    want = np.array(ImageEnhance.Contrast(PIL_IMG).enhance(factor))
+    assert_close_u8(_op_contrast(IMG_F, factor), want, tol=2, frac=0.98)
+
+
+@pytest.mark.parametrize("factor", [0.3, 1.7])
+def test_sharpness_matches_pil(factor):
+    want = np.array(ImageEnhance.Sharpness(PIL_IMG).enhance(factor))
+    assert_close_u8(_op_sharpness(IMG_F, factor), want, tol=2, frac=0.97)
+
+
+def test_translate_matches_pil():
+    # translateX by +5 px: PIL transform (1,0,5,0,1,0) is dst->src src_x = x+5
+    mat = _spatial_matrix(jnp.int32(TRANS_X), jnp.float32(5.0 / 32.0), 32, 32)
+    sx, sy, inb = _affine_coords(32, 32, mat)
+    got = _bilinear_gather(IMG_F, sx, sy, inb)
+    want = np.array(PIL_IMG.transform((32, 32), Image.AFFINE, (1, 0, 5, 0, 1, 0),
+                                      fillcolor=0))
+    assert_close_u8(got, want, tol=1)
+
+
+def test_rotate_matches_pil():
+    angle = 20.0
+    mat = _spatial_matrix(jnp.int32(ROTATE), jnp.float32(angle), 32, 32)
+    sx, sy, inb = _affine_coords(32, 32, mat)
+    got = np.asarray(_nearest_gather(jnp.asarray(IMG[..., 0]), sx, sy, inb))
+    rot = PIL_IMG.convert("RGBA").rotate(angle)
+    want = np.array(Image.composite(rot, Image.new("RGBA", rot.size, 0), rot)
+                    .convert("RGB"))[..., 0]
+    # nearest-vs-nearest with slightly different center conventions: require
+    # high agreement instead of exactness
+    ok = got == want
+    assert ok.mean() > 0.9
+
+
+def test_full_sample_runs_and_preserves_mask_dtype():
+    img = jnp.asarray(RNG.integers(0, 256, (64, 64, 6)), jnp.float32)
+    mask = jnp.asarray(RNG.integers(0, 5, (64, 64)), jnp.uint8)
+    for i in range(6):
+        out, m = autoaugment_sample(jax.random.PRNGKey(i), img, mask)
+        assert out.shape == (64, 64, 6)
+        assert m.shape == (64, 64)
+        assert int(jnp.max(m)) <= 4  # labels never corrupted by resampling

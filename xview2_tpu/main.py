@@ -17,6 +17,9 @@ def main(argv=None) -> int:
     cfg = parse_args(argv)
     # heavy imports after arg parsing so --help stays fast
     from xview2_tpu.train import trainer
+    from xview2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if cfg.exec_mode == "train":
         best = trainer.fit(cfg)

@@ -87,13 +87,29 @@ class Runner:
     def put_batch(self, *arrays):
         return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
 
+    def prefetch(self, loader: Loader, fields=("image", "mask")):
+        """Iterate device-resident batches one step ahead of consumption.
+
+        ``jax.device_put`` is async; holding the next batch's transfer in
+        flight while the current step executes overlaps host->device copies
+        with TPU compute (the reference relied on pinned-memory DataLoader
+        prefetch for the same effect).
+        """
+        it = iter(loader)
+        prev = None
+        for batch in it:
+            nxt = self.put_batch(*(getattr(batch, f) for f in fields))
+            if prev is not None:
+                yield prev
+            prev = nxt
+        if prev is not None:
+            yield prev
+
     # ---- eval loop ----
     def run_eval(self, eval_step, params, batch_stats, loader: Loader):
         f1_state = jax.device_put(init_f1_state(self.cfg.n_metric_class), self.replicated)
         losses = []
-        all_logits = None
-        for batch in loader:
-            imgs, msks, valid = self.put_batch(batch.image, batch.mask, batch.valid)
+        for imgs, msks, valid in self.prefetch(loader, ("image", "mask", "valid")):
             f1_state, loss, _ = eval_step(params, batch_stats, f1_state, imgs, msks, valid)
             losses.append(loss)
         val_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
@@ -148,12 +164,11 @@ def fit(cfg: Config) -> str:
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         n_imgs = 0
-        for batch in train_loader:
+        for imgs, msks in runner.prefetch(train_loader):
             rng = jax.random.fold_in(base_rng, global_step)
-            imgs, msks = runner.put_batch(batch.image, batch.mask)
             state, loss = train_step(state, imgs, msks, rng)
             global_step += 1
-            n_imgs += batch.image.shape[0]
+            n_imgs += imgs.shape[0]
             if cfg.profile and global_step == 6:
                 jax.profiler.stop_trace()
         train_time = time.time() - t0
