@@ -93,3 +93,27 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.full((2, 2), 0.5))
     assert meta["epoch"] == 3 and meta["best_f1"] == 55.5
     assert ckpt_lib.load_config(path) == cfg
+
+
+def test_bit_reproducibility(synth_root, tmp_path):
+    """Same seed -> bit-identical first-step loss (SURVEY.md §5.2: the
+    reference traded determinism away; JAX threaded PRNG gives it for free)."""
+    import optax
+    from xview2_tpu.models.unet import build_model
+    from xview2_tpu.parallel.steps import init_train_state, make_train_step
+    from xview2_tpu.train.optimizers import build_optimizer
+
+    cfg = Config(type="pre", encoder="resnet50", precision=32, loss_str="ce",
+                 data=synth_root, batch_size=2, train_crop=64)
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    rng = jax.random.PRNGKey(cfg.seed)
+    imgs = jnp.zeros((2, 96, 96, 3), jnp.uint8)
+    msks = jnp.zeros((2, 96, 96), jnp.uint8)
+    step = jax.jit(make_train_step(cfg, model, tx, crop=64))
+    losses = []
+    for _ in range(2):
+        state = init_train_state(cfg, model, tx, rng, (64, 64, 3))
+        _, loss = step(state, imgs, msks, jax.random.PRNGKey(42))
+        losses.append(float(loss))
+    assert losses[0] == losses[1]

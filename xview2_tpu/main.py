@@ -10,7 +10,28 @@ from __future__ import annotations
 
 import sys
 
+import os
+
 from xview2_tpu.config import parse_args
+
+
+def _maybe_init_distributed() -> None:
+    """Multi-host (DCN) scaling: one global mesh across hosts.
+
+    The reference's multi-GPU story was single-node NCCL DDP (SURVEY.md §5.8).
+    TPU pods span hosts; when launched under a multi-host coordinator
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES`` or a TPU-pod
+    environment), ``jax.distributed.initialize`` makes ``jax.devices()``
+    global and the same 1-D data mesh covers every chip — no separate
+    backend layer.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("TPU_WORKER_ID"):
+        import jax
+
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process fallback
+            print(f"jax.distributed.initialize skipped: {e}", flush=True)
 
 
 def main(argv=None) -> int:
@@ -20,6 +41,7 @@ def main(argv=None) -> int:
     from xview2_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _maybe_init_distributed()
 
     if cfg.exec_mode == "train":
         best = trainer.fit(cfg)
