@@ -219,9 +219,13 @@ def deep_supervision_loss(
     normalized by ``1/(2 - 2^-len(outputs))``.
     """
     total = loss_fn(outputs[0], labels)
+    h0, w0 = labels.shape[1], labels.shape[2]
     for i, out in enumerate(outputs[1:]):
         h, w = out.shape[1], out.shape[2]
-        ds_labels = jax.image.resize(labels, (labels.shape[0], h, w), method="nearest")
+        # torch F.interpolate nearest: src = floor(dst * in/out)
+        iy = jnp.floor(jnp.arange(h) * (h0 / h)).astype(jnp.int32)
+        ix = jnp.floor(jnp.arange(w) * (w0 / w)).astype(jnp.int32)
+        ds_labels = labels[:, iy][:, :, ix]
         total = total + (0.5 ** (i + 1)) * loss_fn(out, ds_labels)
     c_norm = 1.0 / (2.0 - 2.0 ** (-len(outputs)))
     return c_norm * total
