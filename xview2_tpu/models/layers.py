@@ -144,7 +144,11 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # transpose_kernel=True gives torch ConvTranspose2d semantics (the
+        # gradient-of-conv, spatially flipped kernel); kernel layout (kh, kw,
+        # out, in) — relevant for torch-checkpoint imports.
         return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2), use_bias=False,
+                                transpose_kernel=True,
                                 kernel_init=torch_conv_init, dtype=self.dtype)(x)
 
 
