@@ -77,7 +77,12 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         return loss, mutated["batch_stats"]
 
     if remat:
-        forward_loss = jax.checkpoint(forward_loss)
+        # Policy matters: saving dot-like results (1x1 convs lower to dots)
+        # while recomputing the cheap elementwise/BN chains measured fastest;
+        # full remat (no policy) was *slower* than no remat at all.
+        forward_loss = jax.checkpoint(
+            forward_loss,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def step_fn(state: TrainState, images: Array, masks: Array, rng: Array):
         keys = jax.random.split(rng, images.shape[0])
