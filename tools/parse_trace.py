@@ -1,0 +1,61 @@
+"""Summarize a jax.profiler xplane trace: top ops by TPU time.
+
+Usage: python tools/parse_trace.py <trace_dir>
+Finds the newest *.xplane.pb under the dir, aggregates XLA op durations on
+the device planes, and prints the top-N rows with self-time percentages.
+Works with the tsl xplane proto bundled in tensorflow.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import sys
+
+
+def load_xspace(path: str):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+def summarize(path: str, top: int = 40):
+    xs = load_xspace(path)
+    rows = collections.Counter()
+    total = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            # XLA op lines carry per-op events; step lines etc. are skipped
+            if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+                continue
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                dur = ev.duration_ps
+                rows[name] += dur
+                total += dur
+    print(f"total device op time: {total/1e12*1000:.2f} ms (all steps in trace)")
+    for name, dur in rows.most_common(top):
+        print(f"{dur/total*100:6.2f}%  {dur/1e12*1000:8.3f} ms  {name[:110]}")
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else ".scratch/trace"
+    paths = sorted(glob.glob(os.path.join(root, "**", "*.xplane.pb"), recursive=True),
+                   key=os.path.getmtime)
+    if not paths:
+        print(f"no xplane.pb under {root}")
+        return 1
+    print("parsing", paths[-1])
+    summarize(paths[-1])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

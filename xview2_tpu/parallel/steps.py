@@ -49,7 +49,7 @@ def init_train_state(cfg: Config, model, tx: optax.GradientTransformation,
 
 
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
-                    crop: int = 512, remat: bool = True,
+                    crop: int = 512, remat: bool = False,
                     ) -> Callable[[TrainState, Array, Array, Array], Tuple[TrainState, Array]]:
     """Build the fused augment+train step.
 
@@ -57,11 +57,12 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     labels; augmentation to ``crop``-size crops (512, reference
     ``pytorch_loader.py:57``) runs on device inside the same program.
 
-    ``remat=True`` rematerializes the forward pass in the backward
-    (``jax.checkpoint``).  This CNN's step is HBM-bandwidth-bound (measured
-    ~108 GB accessed/step at batch 16 on v5e); trading one forward recompute
-    (~2.1 TFLOP) for the activation traffic is a measured **1.8x** speedup
-    (188 ms -> 103 ms per step).
+    ``remat`` rematerializes the forward in the backward (``jax.checkpoint``).
+    Default off: a controlled sweep on v5e (batch 16, resnet50 UNetLoc,
+    donated state) measured every remat policy *slower* than none
+    (none 189 ms / full 290 / dots 289 / dots-batch 266) — activations fit in
+    HBM (10.4 GB temp), so recompute only adds FLOPs.  The knob remains for
+    larger models/batches where temp memory would otherwise spill.
     """
     loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
     use_aa = cfg.autoaugment
@@ -77,12 +78,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         return loss, mutated["batch_stats"]
 
     if remat:
-        # Policy matters: saving dot-like results (1x1 convs lower to dots)
-        # while recomputing the cheap elementwise/BN chains measured fastest;
-        # full remat (no policy) was *slower* than no remat at all.
         forward_loss = jax.checkpoint(
-            forward_loss,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            forward_loss, policy=jax.checkpoint_policies.dots_saveable)
 
     def step_fn(state: TrainState, images: Array, masks: Array, rng: Array):
         keys = jax.random.split(rng, images.shape[0])
