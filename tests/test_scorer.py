@@ -124,3 +124,33 @@ def test_f1_counts_edge_cases():
     assert f1_from_counts(0, 0, 0) == 0.0
     assert f1_from_counts(10, 0, 0) == 1.0
     assert f1_from_counts(5, 5, 5) == pytest.approx(0.5)
+
+
+def test_full_artifact_chain(tmp_path):
+    """probs dump -> post_process -> scorer, end to end on synthetic arrays
+    (the L0 offline pipeline of SURVEY.md §3.3 without a model)."""
+    probs = tmp_path / "probs"
+    targets = tmp_path / "targets"
+    probs.mkdir()
+    targets.mkdir()
+    # ground truth: one building block with damage class 2
+    lt = np.zeros((1024, 1024), np.uint8)
+    lt[100:300, 100:300] = 1
+    dt = np.zeros((1024, 1024), np.uint8)
+    dt[100:300, 100:300] = 2
+    _save_png(lt, targets / "test_localization_00000_target.png")
+    _save_png(dt, targets / "test_damage_00000_target.png")
+    # model outputs: confident sigmoid probs + softmax damage probs
+    loc = np.where(lt > 0, 0.95, 0.02).astype(np.float32)
+    dmg = np.full((4, 1024, 1024), 0.1, np.float32)
+    dmg[1][dt == 2] = 0.9  # class 2 = channel 1 (argmax+1)
+    np.save(probs / "test_localization_00000.npy", loc)
+    np.save(probs / "test_damage_00000.npy", dmg)
+
+    post_process_dir(str(tmp_path))
+    out = compute_score(str(tmp_path / "predictions"), str(targets),
+                        str(tmp_path / "score.json"), processes=1)
+    assert out["localization_f1"] == pytest.approx(1.0)
+    assert out["damage_f1_minor_damage"] == pytest.approx(1.0)
+    assert out["score"] == pytest.approx(
+        0.3 + 0.7 * harmonic_mean([0.0, 1.0, 0.0, 0.0]), abs=1e-6)

@@ -23,9 +23,22 @@ def load_xspace(path: str):
     return xs
 
 
+def _opcode(name: str) -> str:
+    """Rough HLO opcode class from the event name."""
+    n = name.split("=", 1)[-1].strip() if "=" in name else name
+    for key in ("convolution", "fusion", "copy-start", "copy-done", "copy",
+                "all-reduce", "reduce", "dot", "custom-call", "transpose",
+                "select-and-scatter", "scatter", "gather", "sort", "iota",
+                "dynamic-slice", "dynamic-update-slice", "bitcast", "rng"):
+        if n.startswith("%" + key) or f" {key}(" in n or n.startswith(key):
+            return key
+    return n.split("(")[0][:32]
+
+
 def summarize(path: str, top: int = 40):
     xs = load_xspace(path)
     rows = collections.Counter()
+    classes = collections.Counter()
     total = 0
     for plane in xs.planes:
         if "TPU" not in plane.name and "/device:" not in plane.name:
@@ -33,16 +46,23 @@ def summarize(path: str, top: int = 40):
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
             # XLA op lines carry per-op events; step lines etc. are skipped
-            if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
+                if "copy-start" in name:
+                    continue  # async spans: duration != occupancy
                 dur = ev.duration_ps
                 rows[name] += dur
+                classes[_opcode(name)] += dur
                 total += dur
     print(f"total device op time: {total/1e12*1000:.2f} ms (all steps in trace)")
+    print("\n== by opcode class ==")
+    for name, dur in classes.most_common(15):
+        print(f"{dur/total*100:6.2f}%  {dur/1e12*1000:8.3f} ms  {name}")
+    print("\n== top individual ops ==")
     for name, dur in rows.most_common(top):
-        print(f"{dur/total*100:6.2f}%  {dur/1e12*1000:8.3f} ms  {name[:110]}")
+        print(f"{dur/total*100:6.2f}%  {dur/1e12*1000:8.3f} ms  {name[:120]}")
 
 
 def main():
