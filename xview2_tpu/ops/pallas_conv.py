@@ -3,20 +3,20 @@
 Why: the U-Net decoder tail runs 3x3 convs on (B, 512, 512, 32) maps.  XLA's
 TPU conv kernels put channels on the 128-wide lane dimension, so C=32 wastes
 3/4 of every MXU/VPU lane (profiled: the dec5 stage is ~half the train step).
-This kernel rebuilds the conv as an im2col matmul where the *second-minor*
-dimension carries `rows x width` (8-sublane tiles always full) and the lane
-dimension carries the 9*C patch features — the MXU sees a dense
-(Hc*W, 9C) @ (9C, Co) product instead of a channel-starved convolution.
+This kernel rebuilds the conv as an im2col matmul where the sublane dimension
+carries `rows x width` (always full 8-tiles) and the lane dimension carries
+the 9*C patch features — the MXU sees a dense (8*W, 9C) @ (9C, Co) product
+instead of a channel-starved convolution.
 
-Layout / pipeline:
-  * input lives in HBM (`pltpu.ANY`); each grid step DMAs an (Hc+2)-row halo
-    window into VMEM scratch (grid is sequential per TPU core),
-  * im2col = 9 static slices of the window, concatenated on lanes,
-  * one `jnp.dot` with fp32 accumulation, written back as bf16/fp32.
+Halo handling without manual DMA (Mosaic requires tile-aligned HBM slices):
+the input is pre-padded to (B, H+8, W+8, C) with the conv's 1-pixel halo at
+offset (1,1) and tile-aligned extents, and passed through TWO BlockSpec views
+— row-block ``i`` and row-block ``i+1``.  Each grid step concatenates the two
+8-row blocks in VMEM and slides the 3x3 window over rows 0..9 of the result.
 
 A custom VJP supplies both gradients:
   * dL/dx = same kernel applied to dL/dy with the spatially-flipped,
-    transposed kernel (conv_transpose identity for stride 1, SAME),
+    IO-transposed kernel (conv identity for stride 1, SAME),
   * dL/dW = sequential-grid accumulation of A^T @ dY over all row blocks.
 
 Used by `models/layers.ConvLayer` when channels are MXU-unfriendly (<=64).
@@ -39,86 +39,67 @@ Array = jax.Array
 # which works on the CPU backend.
 INTERPRET = False
 
-
-def _pick_row_block(h: int, w: int, c: int) -> int:
-    """Rows per grid step, sized to keep the im2col buffer ~<=4MB in VMEM."""
-    budget = 4 * 1024 * 1024
-    per_row = w * 9 * c * 2  # bf16 A-row bytes
-    hc = max(8, min(h, budget // max(per_row, 1)))
-    while h % hc:
-        hc -= 1
-    return max(hc, 1)
+HC = 8  # output rows per grid step (one sublane tile)
 
 
-def _conv_kernel(x_hbm, k_ref, out_ref, x_win, sem, *, hc: int, w: int, c: int,
-                 co: int):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    # DMA the (hc+2)-row halo window for this block from HBM.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * hc, hc + 2)], x_win, sem)
-    dma.start()
-    dma.wait()
+def _pad_input(x: Array) -> Array:
+    """(B, H, W, C) -> (B, H+8, W+8, C): halo at offset (1,1), tile-aligned."""
+    return jnp.pad(x, ((0, 0), (1, 7), (1, 7), (0, 0)))
 
-    # im2col: rows (hc, w) x taps (3x3) x channels -> (hc*w, 9c) on lanes.
+
+def _build_a(x0, x1, w: int, c: int):
+    """im2col block: two stacked 8-row views -> (HC*w, 9c)."""
+    rows = jnp.concatenate([x0[0], x1[0]], axis=0)  # (16, w+8, c)
     cols = []
     for dy in range(3):
         for dx in range(3):
-            patch = x_win[pl.ds(dy, hc), pl.ds(dx, w), :]
-            cols.append(patch.reshape(hc * w, c))
-    a = jnp.concatenate(cols, axis=1)
+            patch = rows[dy:dy + HC, dx:dx + w, :]
+            cols.append(patch.reshape(HC * w, c))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _conv_kernel(x0_ref, x1_ref, k_ref, out_ref, *, w: int, c: int, co: int):
+    a = _build_a(x0_ref, x1_ref, w, c)
     acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(hc, w, co).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(HC, w, co).astype(out_ref.dtype)
+
+
+def _in_specs(w: int, c: int):
+    blk = (1, HC, w + 8, c)
+    return [
+        pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda bb, ii: (bb, ii + 1, 0, 0), memory_space=pltpu.VMEM),
+    ]
 
 
 def _conv3x3_fwd_impl(x: Array, kmat: Array) -> Array:
-    """x: (B, H, W, C); kmat: (9C, Co) with tap-major rows."""
+    """x: (B, H, W, C); kmat: (9C, Co) with tap-major rows (dy, dx, c)."""
     b, h, w, c = x.shape
     co = kmat.shape[1]
-    hc = _pick_row_block(h, w, c)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = _pad_input(x)
 
-    kernel = functools.partial(_conv_kernel, hc=hc, w=w, c=c, co=co)
+    kernel = functools.partial(_conv_kernel, w=w, c=c, co=co)
     return pl.pallas_call(
         kernel,
-        grid=(b, h // hc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # full padded input in HBM
-            pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(b, h // HC),
+        in_specs=_in_specs(w, c) + [
+            pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hc, w, co), lambda bb, ii: (bb, ii, 0, 0),
+        out_specs=pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((hc + 2, w + 2, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=INTERPRET,
-    )(xp, kmat)
+    )(xp, xp, kmat)
 
 
-def _wgrad_kernel(x_hbm, g_ref, out_ref, x_win, sem, *, hc: int, w: int,
-                  c: int, co: int):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * hc, hc + 2)], x_win, sem)
-    dma.start()
-    dma.wait()
-
-    cols = []
-    for dy in range(3):
-        for dx in range(3):
-            patch = x_win[pl.ds(dy, hc), pl.ds(dx, w), :]
-            cols.append(patch.reshape(hc * w, c))
-    a = jnp.concatenate(cols, axis=1)  # (hc*w, 9c)
-    g = g_ref[0].reshape(hc * w, co)
+def _wgrad_kernel(x0_ref, x1_ref, g_ref, out_ref, *, w: int, c: int, co: int):
+    a = _build_a(x0_ref, x1_ref, w, c)  # (HC*w, 9c)
+    g = g_ref[0].reshape(HC * w, co)
     contrib = jax.lax.dot_general(
         a, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (9c, co)
 
-    @pl.when(jnp.logical_and(b == 0, i == 0))
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
@@ -126,30 +107,24 @@ def _wgrad_kernel(x_hbm, g_ref, out_ref, x_win, sem, *, hc: int, w: int,
 
 
 def _conv3x3_wgrad_impl(x: Array, g: Array) -> Array:
-    """dL/dkmat: (9C, Co) accumulated across all row blocks (sequential grid)."""
+    """dL/dkmat: (9C, Co) accumulated across row blocks (sequential TPU grid)."""
     b, h, w, c = x.shape
     co = g.shape[-1]
-    hc = _pick_row_block(h, w, c)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = _pad_input(x)
 
-    kernel = functools.partial(_wgrad_kernel, hc=hc, w=w, c=c, co=co)
+    kernel = functools.partial(_wgrad_kernel, w=w, c=c, co=co)
     return pl.pallas_call(
         kernel,
-        grid=(b, h // hc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, hc, w, co), lambda bb, ii: (bb, ii, 0, 0),
+        grid=(b, h // HC),
+        in_specs=_in_specs(w, c) + [
+            pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((hc + 2, w + 2, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=INTERPRET,
-    )(xp, g)
+    )(xp, xp, g)
 
 
 def kernel_to_mat(kernel: Array) -> Array:
