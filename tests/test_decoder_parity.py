@@ -107,3 +107,85 @@ def test_upsample_block_with_attention_matches_torch():
     got = block.apply(variables, to_nhwc(x), to_nhwc(skip), False)
     np.testing.assert_allclose(np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
                                rtol=3e-4, atol=3e-4)
+
+
+class TorchPPM(nn.Module):
+    """Reference PPM equations (layers.py:6-29)."""
+
+    def __init__(self, cin):
+        super().__init__()
+        cout = cin // 4
+        self.branches = nn.ModuleList()
+        for _ in (1, 2, 3, 6):
+            conv = nn.Conv2d(cin, cout, 1, bias=False)
+            bn = rand_bn(cout)
+            self.branches.append(nn.ModuleList([conv, bn]))
+        self.fuse = nn.Conv2d(2 * cin, cin, 1, bias=True)
+
+    def forward(self, x):
+        outs = [x]
+        for b, (conv, bn) in zip((1, 2, 3, 6), self.branches):
+            f = tF.adaptive_avg_pool2d(x, b)
+            f = tF.leaky_relu(bn(conv(f)), 0.01)
+            outs.append(tF.interpolate(f, x.shape[2:], mode="bilinear",
+                                       align_corners=True))
+        return self.fuse(torch.cat(outs, 1))
+
+
+def test_ppm_matches_torch():
+    from xview2_tpu.models.layers import PPM
+
+    tm = TorchPPM(16).eval()
+    x = torch.randn(1, 16, 12, 12)
+    with torch.no_grad():
+        want = tm(x)
+    params, stats = {}, {}
+    for i, (conv, bn) in enumerate(tm.branches):
+        params[f"reduce{i}"] = {"kernel": conv_kernel(conv.weight)}
+        p, s = bn_vars(bn)
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    params["fuse"] = {"kernel": conv_kernel(tm.fuse.weight),
+                      "bias": jnp.asarray(tm.fuse.bias.detach().numpy())}
+    got = PPM().apply({"params": params, "batch_stats": stats}, to_nhwc(x), False)
+    np.testing.assert_allclose(np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
+                               rtol=3e-4, atol=3e-4)
+
+
+class TorchASPP(nn.Module):
+    """Reference ASPP equations (layers.py:32-65), dilation=1."""
+
+    def __init__(self, cin):
+        super().__init__()
+        cout = cin // 4
+        dil = [1, 3, 6, 9]
+        self.mods = nn.ModuleList()
+        for i, d in enumerate(dil):
+            k = 1 if i == 0 else 3
+            pad = 0 if i == 0 else d
+            conv = nn.Conv2d(cin, cout, k, padding=pad, dilation=d, bias=False)
+            bn = rand_bn(cout)
+            self.mods.append(nn.ModuleList([conv, bn]))
+
+    def forward(self, x):
+        outs = [tF.leaky_relu(bn(conv(x)), 0.01) for conv, bn in self.mods]
+        return torch.cat(outs, 1)
+
+
+def test_aspp_matches_torch():
+    from xview2_tpu.models.layers import ASPP
+
+    tm = TorchASPP(16).eval()
+    x = torch.randn(1, 16, 24, 24)
+    with torch.no_grad():
+        want = tm(x)
+    params, stats = {}, {}
+    for i, (conv, bn) in enumerate(tm.mods):
+        p, s = bn_vars(bn)
+        params[f"aspp{i + 1}"] = {"Conv_0": {"kernel": conv_kernel(conv.weight)},
+                                  "BatchNorm_0": p}
+        stats[f"aspp{i + 1}"] = {"BatchNorm_0": s}
+    got = ASPP(dilation=1).apply({"params": params, "batch_stats": stats},
+                                 to_nhwc(x), False)
+    np.testing.assert_allclose(np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
+                               rtol=3e-4, atol=3e-4)
