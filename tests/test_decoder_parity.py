@@ -87,7 +87,7 @@ def test_upsample_block_with_attention_matches_torch():
     p_b2, s_b2 = bn_vars(tm.bn2)
     variables = {
         "params": {
-            "conv_transpose": {"ConvTranspose_0": {"kernel": convT_kernel(tm.up.weight)}},
+            "conv_transpose": {"kernel": convT_kernel(tm.up.weight)},
             "conv_o": {"Conv_0": {"kernel": conv_kernel(tm.conv_o.weight)}, "BatchNorm_0": p_o},
             "conv_s": {"Conv_0": {"kernel": conv_kernel(tm.conv_s.weight)}, "BatchNorm_0": p_s},
             "psi": {"Conv_0": {"kernel": conv_kernel(tm.psi.weight)}, "BatchNorm_0": p_psi},
