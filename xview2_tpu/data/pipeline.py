@@ -187,13 +187,14 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
         def assemble(batch_ids: Sequence[int]) -> Batch:
             fast = self._assemble_native(batch_ids)
             if fast is not None:
                 imgs, msks = fast
             else:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    items = list(pool.map(self.ds.load_item, batch_ids))
+                items = list(pool.map(self.ds.load_item, batch_ids))
                 imgs = np.stack([it[0] for it in items])
                 msks = np.stack([it[1] for it in items])
             valid = np.ones((len(batch_ids),), np.float32)
@@ -213,6 +214,7 @@ class Loader:
                     q.put(assemble(ids))
             finally:
                 q.put(None)
+                pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
