@@ -80,6 +80,7 @@ class Config:
     profile: bool = False  # capture a jax.profiler trace for the first steps
     index_csv: Optional[str] = None  # path to index.csv (defaults to bundled)
     train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
+    spatial_shards: int = 1  # shard image height over a 2nd mesh axis (GSPMD halo exchange)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -99,6 +100,9 @@ class Config:
         for term in self.loss_terms:
             if term not in LOSS_TERMS:
                 raise ValueError(f"unknown loss term {term!r}; valid: {LOSS_TERMS}")
+        if self.spatial_shards < 1 or self.gpus % self.spatial_shards:
+            raise ValueError(
+                f"spatial_shards ({self.spatial_shards}) must divide gpus ({self.gpus})")
         # Derived rule from reference main.py:57-59.
         if self.interpolate and (self.deep_supervision or self.dec_interp):
             object.__setattr__(self, "deep_supervision", False)
@@ -202,6 +206,8 @@ def build_parser() -> ArgumentParser:
     arg("--profile", action="store_true", help="Capture a jax.profiler trace of the first training steps")
     arg("--index_csv", type=str, default=None, help="Path to train index.csv (defaults to bundled copy)")
     arg("--train_crop", type=int, default=512, help="Training crop size")
+    arg("--spatial_shards", type=int, default=1,
+        help="Shard image height over a second mesh axis (conv halo exchange via GSPMD)")
     return parser
 
 

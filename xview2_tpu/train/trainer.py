@@ -37,7 +37,7 @@ from xview2_tpu.data.pipeline import Loader, XView2Dataset, make_loaders
 from xview2_tpu.models.unet import build_model
 from xview2_tpu.ops.metrics import compute_f1, init_f1_state
 from xview2_tpu.parallel import checkpoint as ckpt_lib
-from xview2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from xview2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, sample_sharding
 from xview2_tpu.parallel.steps import (
     TrainState,
     init_train_state,
@@ -59,13 +59,14 @@ class Runner:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.mesh = make_mesh(cfg.gpus)
-        self.n_dev = cfg.gpus
+        self.mesh = make_mesh(cfg.gpus, cfg.spatial_shards)
+        self.n_data = cfg.gpus // cfg.spatial_shards
         self.batch_sharding = batch_sharding(self.mesh)
+        self.sample_sharding = sample_sharding(self.mesh)
         self.replicated = replicated(self.mesh)
         self.model = build_model(cfg)
-        self.global_train_batch = cfg.batch_size * self.n_dev
-        self.global_eval_batch = _pad_to(cfg.val_batch_size * self.n_dev, self.n_dev)
+        self.global_train_batch = cfg.batch_size * self.n_data
+        self.global_eval_batch = _pad_to(cfg.val_batch_size * self.n_data, self.n_data)
 
     # ---- optimizer / schedule ----
     def build_tx(self, steps_per_epoch: int):
@@ -85,7 +86,10 @@ class Runner:
         return jax.device_put(state, self.replicated)
 
     def put_batch(self, *arrays):
-        return tuple(jax.device_put(a, self.batch_sharding) for a in arrays)
+        return tuple(
+            jax.device_put(a, self.batch_sharding if getattr(a, "ndim", 1) > 1
+                           else self.sample_sharding)
+            for a in arrays)
 
     def prefetch(self, loader: Loader, fields=("image", "mask")):
         """Iterate device-resident batches one step ahead of consumption.
