@@ -237,19 +237,26 @@ def _op_autocontrast(img: Array, _mag: Array) -> Array:
 
 
 def _equalize_channel(ch: Array) -> Array:
-    """PIL ImageOps.equalize for one uint8-valued channel."""
+    """PIL ImageOps.equalize for one uint8-valued channel.
+
+    Histogram and LUT application are expressed as one-hot contractions —
+    scatter-add / gather lower to serialized ops on TPU, while the one-hot
+    forms are plain (N, 256) reductions/matmuls.
+    """
     v = jnp.round(ch).astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.int32).at[v.reshape(-1)].add(1)
+    onehot = jax.nn.one_hot(v.reshape(-1), 256, dtype=jnp.float32)  # (N, 256)
+    hist = jnp.sum(onehot, axis=0).astype(jnp.int32)
     # PIL: step = (pixels - last nonzero bin count) // 255
     nonzero = hist > 0
     last_nz = 255 - jnp.argmax(nonzero[::-1])
-    step = (jnp.sum(hist) - hist[last_nz]) // 255
+    hist_last = jnp.sum(jnp.where(jnp.arange(256) == last_nz, hist, 0))
+    step = (jnp.sum(hist) - hist_last) // 255
     csum = jnp.cumsum(hist)
     shifted = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
     lut = (shifted + step // 2) // jnp.maximum(step, 1)
-    lut = jnp.clip(lut, 0, 255)
-    out = jnp.where(step > 0, lut[v].astype(jnp.float32), ch)
-    return out
+    lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
+    mapped = (onehot @ lut).reshape(ch.shape)
+    return jnp.where(step > 0, mapped, ch)
 
 
 def _op_equalize(img: Array, _mag: Array) -> Array:
@@ -270,7 +277,19 @@ def _apply_op(op: Array, mag: Array, img: Array, mask: Array,
         im, mk = args
         mat = _spatial_matrix(op, mag, h, w)
         sx, sy, inb = _affine_coords(h, w, mat)
-        return _bilinear_gather(im, sx, sy, inb), _nearest_gather(mk, sx, sy, inb)
+        # PIL resamples rotate/translate with NEAREST (their default); only
+        # the shears specified BICUBIC (autoaugment.py:75-98).  Nearest is
+        # also 4x fewer TPU gathers, which dominate this branch under vmap.
+        def im_nearest(_):
+            chans = [_nearest_gather(im[..., k], sx, sy, inb)
+                     for k in range(im.shape[-1])]
+            return jnp.stack(chans, axis=-1).astype(im.dtype)
+
+        def im_bilinear(_):
+            return _bilinear_gather(im, sx, sy, inb)
+
+        new_im = jax.lax.cond(op <= SHEAR_Y, im_bilinear, im_nearest, None)
+        return new_im, _nearest_gather(mk, sx, sy, inb)
 
     def intensity(args):
         im, mk = args
