@@ -113,6 +113,14 @@ def _affine_coords(h: int, w: int, mat: Array) -> Tuple[Array, Array, Array]:
     return src_x, src_y, inb
 
 
+def _flat_gather(img: Array, xi: Array, yi: Array) -> Array:
+    """One row-gather of packed channels: img (H, W, C), xi/yi int (H, W)."""
+    h, w, c = img.shape
+    lin = (yi * w + xi).reshape(-1)
+    out = jnp.take(img.reshape(h * w, c), lin, axis=0)
+    return out.reshape(h, w, c)
+
+
 def _bilinear_gather(img: Array, src_x: Array, src_y: Array, inb: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
@@ -122,10 +130,10 @@ def _bilinear_gather(img: Array, src_x: Array, src_y: Array, inb: Array) -> Arra
     fx = jnp.clip(src_x - x0, 0.0, 1.0)
     fy = jnp.clip(src_y - y0, 0.0, 1.0)
     x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
-    p00 = img[y0, x0]
-    p01 = img[y0, x1]
-    p10 = img[y1, x0]
-    p11 = img[y1, x1]
+    p00 = _flat_gather(img, x0, y0)
+    p01 = _flat_gather(img, x1, y0)
+    p10 = _flat_gather(img, x0, y1)
+    p11 = _flat_gather(img, x1, y1)
     fx = fx[..., None]
     fy = fy[..., None]
     out = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
@@ -268,28 +276,66 @@ def _op_equalize(img: Array, _mag: Array) -> Array:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
+                 ) -> Tuple[Array, Array]:
+    """Spatial op on (img ++ mask) packed into ONE gather pass.
+
+    2-D gathers are the dominant TPU cost of this pipeline (~40 ns/element);
+    packing all image channels (both pair halves) and the mask into one
+    row-gather amortizes it.  Shears sample the image bilinearly (PIL used
+    BICUBIC there) with the mask taken from the nearest of the 4 gathered
+    corners — no extra gather; rotate/translate are NEAREST as in PIL.
+    """
+    h, w = mask.shape
+    mat = _spatial_matrix(op, mag, h, w)
+    sx, sy, inb = _affine_coords(h, w, mat)
+    packed = jnp.concatenate([img, mask.astype(img.dtype)[..., None]], axis=-1)
+
+    def nearest(_):
+        xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
+        out = _flat_gather(packed, xi, yi)
+        return jnp.where(inb[..., None], out, 0.0)
+
+    def bilinear(_):
+        x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
+        y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        fx = jnp.clip(sx - x0, 0.0, 1.0)[..., None]
+        fy = jnp.clip(sy - y0, 0.0, 1.0)[..., None]
+        x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
+        p00 = _flat_gather(packed, x0, y0)
+        p01 = _flat_gather(packed, x1, y0)
+        p10 = _flat_gather(packed, x0, y1)
+        p11 = _flat_gather(packed, x1, y1)
+        soft = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+                + p10 * (1 - fx) * fy + p11 * fx * fy)
+        # mask channel: nearest corner of the same 4 gathers (labels stay hard)
+        near_x = fx >= 0.5
+        near_y = fy >= 0.5
+        hard = jnp.where(near_y, jnp.where(near_x, p11, p10),
+                         jnp.where(near_x, p01, p00))
+        out = jnp.concatenate([soft[..., :-1], hard[..., -1:]], axis=-1)
+        return jnp.where(inb[..., None], out, 0.0)
+
+    out = jax.lax.cond(op <= SHEAR_Y, bilinear, nearest, None)
+    new_mask = out[..., -1].astype(mask.dtype)
+    return out[..., :-1], new_mask
+
+
 def _apply_op(op: Array, mag: Array, img: Array, mask: Array,
               ) -> Tuple[Array, Array]:
-    """Apply op ``op`` with signed magnitude ``mag`` to (img, mask)."""
-    h, w = mask.shape
+    """Apply op ``op`` with signed magnitude ``mag`` to (img, mask).
+
+    ``img`` may carry 3 or 6 channels (pre/post pair); spatial ops transform
+    the pair and the mask jointly, intensity ops act per 3-channel half with
+    the same parameters (the shared-sign fix documented in the module doc).
+    """
 
     def spatial(args):
         im, mk = args
-        mat = _spatial_matrix(op, mag, h, w)
-        sx, sy, inb = _affine_coords(h, w, mat)
-        # PIL resamples rotate/translate with NEAREST (their default); only
-        # the shears specified BICUBIC (autoaugment.py:75-98).  Nearest is
-        # also 4x fewer TPU gathers, which dominate this branch under vmap.
-        def im_nearest(_):
-            chans = [_nearest_gather(im[..., k], sx, sy, inb)
-                     for k in range(im.shape[-1])]
-            return jnp.stack(chans, axis=-1).astype(im.dtype)
-
-        def im_bilinear(_):
-            return _bilinear_gather(im, sx, sy, inb)
-
-        new_im = jax.lax.cond(op <= SHEAR_Y, im_bilinear, im_nearest, None)
-        return new_im, _nearest_gather(mk, sx, sy, inb)
+        return _warp_packed(op, mag, im, mk)
 
     def intensity(args):
         im, mk = args
@@ -304,7 +350,15 @@ def _apply_op(op: Array, mag: Array, img: Array, mask: Array,
             lambda x: _op_equalize(x, mag),
             lambda x: _op_invert(x, mag),
         ]
-        return jax.lax.switch(op - COLOR, branches, im), mk
+
+        def apply3(x3):
+            return jax.lax.switch(op - COLOR, branches, x3)
+
+        if im.shape[-1] == 6:
+            out = jnp.concatenate([apply3(im[..., :3]), apply3(im[..., 3:])], axis=-1)
+        else:
+            out = apply3(im)
+        return out, mk
 
     return jax.lax.cond(op < COLOR, spatial, intensity, (img, mask))
 
@@ -328,10 +382,6 @@ def autoaugment_sample(rng: Array, img: Array, mask: Array) -> Tuple[Array, Arra
     def run(img, mask, op, mag, do):
         def apply(args):
             im, mk = args
-            if im.shape[-1] == 6:
-                a, mk2 = _apply_op(op, mag, im[..., :3], mk)
-                b, _ = _apply_op(op, mag, im[..., 3:], mk)
-                return jnp.concatenate([a, b], axis=-1), mk2
             return _apply_op(op, mag, im, mk)
 
         return jax.lax.cond(do, apply, lambda args: args, (img, mask))
