@@ -141,3 +141,21 @@ def test_resnest_conversion_covers_all_block_keys():
     assert len(got_leaves) == len(want_leaves)
     for g, w in zip(got_leaves, want_leaves):
         assert tuple(g.shape) == tuple(w.shape)
+
+
+def test_pretrained_enc_via_transplant_mapping(tmp_path):
+    """--pretrained_enc placement for damage variants routes through the
+    transplant mapping (same enc_l* containers)."""
+    from xview2_tpu.parallel.transplant import transplant_collection
+
+    sd = fabricate_resnet50_sd()
+    params, stats = convert_resnet(sd, "resnet50")
+    cfg = Config(type="post", dmg_model="fused", encoder="resnet50", precision=32)
+    model = build_model(cfg)
+    shapes = jax.eval_shape(lambda k, x: model.init(k, x, False),
+                            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)))
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes["params"])
+    out = transplant_collection("fused", zeros, {"unet": params})
+    k = out["enc_fusion_0"]["pre_layer"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k),
+                                  np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))

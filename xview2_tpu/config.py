@@ -81,6 +81,7 @@ class Config:
     index_csv: Optional[str] = None  # path to index.csv (defaults to bundled)
     train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
     spatial_shards: int = 1  # shard image height over a 2nd mesh axis (GSPMD halo exchange)
+    pretrained_enc: Optional[str] = None  # .npz from tools/convert_weights.py (reference bakes pretrained=True, unet.py:45)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -208,6 +209,8 @@ def build_parser() -> ArgumentParser:
     arg("--train_crop", type=int, default=512, help="Training crop size")
     arg("--spatial_shards", type=int, default=1,
         help="Shard image height over a second mesh axis (conv halo exchange via GSPMD)")
+    arg("--pretrained_enc", type=str, default=None,
+        help="Converted ImageNet encoder weights (.npz from tools/convert_weights.py)")
     return parser
 
 

@@ -130,6 +130,33 @@ def fit(cfg: Config) -> str:
     tx = runner.build_tx(steps_per_epoch)
     state = runner.init_state(tx)
 
+    # Initialization precedence (mirrors the reference): ImageNet-pretrained
+    # encoder (baked-in `pretrained=True`, unet.py:45) < localization
+    # transplant (--ckpt_pre, main.py:76-94) < checkpoint resume (--ckpt).
+    if cfg.pretrained_enc and os.path.exists(cfg.pretrained_enc):
+        from xview2_tpu.models.pretrained import load_encoder_npz
+        from xview2_tpu.parallel.transplant import transplant_collection
+
+        pre_p, pre_s = load_encoder_npz(cfg.pretrained_enc)
+        # "siamese" places the encoder under ["unet"], which matches UNetLoc
+        variant = "siamese" if cfg.type == "pre" else cfg.dmg_model
+        new_params = transplant_collection(variant, jax.device_get(state.params),
+                                           {"unet": pre_p})
+        new_stats = transplant_collection(variant, jax.device_get(state.batch_stats),
+                                          {"unet": pre_s})
+        state = jax.device_put(state.replace(params=new_params, batch_stats=new_stats),
+                               runner.replicated)
+        print(f"loaded pretrained encoder from {cfg.pretrained_enc}", flush=True)
+
+    if cfg.type == "post" and cfg.ckpt_pre and ckpt_lib.checkpoint_exists(cfg.ckpt_pre):
+        loc_payload, _ = ckpt_lib.restore_raw(cfg.ckpt_pre)
+        new_params, new_stats = transplant_encoder(
+            cfg.dmg_model, jax.device_get(state.params), jax.device_get(state.batch_stats),
+            loc_payload["params"], loc_payload.get("batch_stats", {}))
+        state = state.replace(params=new_params, batch_stats=new_stats)
+        state = jax.device_put(state, runner.replicated)
+        print(f"transplanted localization encoder from {cfg.ckpt_pre}", flush=True)
+
     start_epoch = 0
     best_f1, best_epoch = 0.0, 0
     resume_path = cfg.ckpt if ckpt_lib.checkpoint_exists(cfg.ckpt) else None
@@ -141,15 +168,6 @@ def fit(cfg: Config) -> str:
         start_epoch = meta["epoch"] + 1
         best_f1, best_epoch = meta["best_f1"], meta["best_epoch"]
         print(f"resumed from {resume_path} at epoch {start_epoch}", flush=True)
-
-    if cfg.type == "post" and cfg.ckpt_pre and ckpt_lib.checkpoint_exists(cfg.ckpt_pre):
-        loc_payload, _ = ckpt_lib.restore_raw(cfg.ckpt_pre)
-        new_params, new_stats = transplant_encoder(
-            cfg.dmg_model, jax.device_get(state.params), jax.device_get(state.batch_stats),
-            loc_payload["params"], loc_payload.get("batch_stats", {}))
-        state = state.replace(params=new_params, batch_stats=new_stats)
-        state = jax.device_put(state, runner.replicated)
-        print(f"transplanted localization encoder from {cfg.ckpt_pre}", flush=True)
 
     train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop),
                          donate_argnums=0)
