@@ -82,3 +82,19 @@ def test_native_decoder_matches_pil(synth_root):
     batch_pil = next(iter(loader2))
     np.testing.assert_array_equal(batch_native.image, batch_pil.image)
     np.testing.assert_array_equal(batch_native.mask, batch_pil.mask)
+
+
+def test_raw_cache_roundtrip_and_speed(synth_root, tmp_path):
+    ds1 = XView2Dataset(os.path.join(synth_root, "train"), "post", True,
+                        cache_dir=str(tmp_path / "cache"))
+    img1, msk1 = ds1.load_item(0)   # decode + write cache
+    img2, msk2 = ds1.load_item(0)   # served from cache
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(msk1, msk2)
+    # cache matches the uncached decode exactly
+    ds2 = XView2Dataset(os.path.join(synth_root, "train"), "post", True)
+    img3, msk3 = ds2.load_item(0)
+    np.testing.assert_array_equal(img1, img3)
+    np.testing.assert_array_equal(msk1, msk3)
+    files = os.listdir(str(tmp_path / "cache" / "train_post"))
+    assert files == ["00000000.npy"]

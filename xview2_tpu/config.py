@@ -82,6 +82,7 @@ class Config:
     train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
     spatial_shards: int = 1  # shard image height over a 2nd mesh axis (GSPMD halo exchange)
     pretrained_enc: Optional[str] = None  # .npz from tools/convert_weights.py (reference bakes pretrained=True, unet.py:45)
+    raw_cache: Optional[str] = None  # dir for decoded raw-tile cache (skips PNG inflate after epoch 1)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -211,6 +212,8 @@ def build_parser() -> ArgumentParser:
         help="Shard image height over a second mesh axis (conv halo exchange via GSPMD)")
     arg("--pretrained_enc", type=str, default=None,
         help="Converted ImageNet encoder weights (.npz from tools/convert_weights.py)")
+    arg("--raw_cache", type=str, default=None,
+        help="Directory for a decoded raw-tile cache (epochs after the first skip PNG decode)")
     return parser
 
 

@@ -79,10 +79,16 @@ class Batch:
 
 
 class XView2Dataset:
-    """Resolves the sample list for one split/task."""
+    """Resolves the sample list for one split/task.
+
+    ``cache_dir`` enables a raw-tile cache: the first read of a sample decodes
+    the PNGs and writes one uncompressed ``.npy`` per sample; subsequent
+    epochs ``np.load`` the raw bytes (no inflate, no filtering) — PNG decode
+    is the host pipeline's only CPU-heavy stage.
+    """
 
     def __init__(self, path: str, task_type: str, training: bool,
-                 index_csv: Optional[str] = None):
+                 index_csv: Optional[str] = None, cache_dir: Optional[str] = None):
         self.task_type = task_type
         self.imgs_pre, self.lbls_pre = load_data(path, "pre")
         if task_type == "post" or not training:
@@ -93,6 +99,11 @@ class XView2Dataset:
         else:
             self.indices = list(range(len(self.imgs_pre)))
         self.training = training
+        self.cache_dir = None
+        if cache_dir:
+            tag = f"{os.path.basename(os.path.abspath(path))}_{task_type}"
+            self.cache_dir = os.path.join(cache_dir, tag)
+            os.makedirs(self.cache_dir, exist_ok=True)
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -108,10 +119,21 @@ class XView2Dataset:
         return (self.imgs_pre[idx], self.imgs_post[idx]), self.lbls_post[idx]
 
     def load_item(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.cache_dir is not None:
+            cpath = os.path.join(self.cache_dir, f"{self.indices[i]:08d}.npy")
+            if os.path.exists(cpath):
+                packed = np.load(cpath)
+                return packed[..., :-1], packed[..., -1]
         img_paths, lbl_path = self.item_paths(i)
         imgs = [_decode_image(p) for p in img_paths]
         img = imgs[0] if len(imgs) == 1 else np.concatenate(imgs, axis=2)
-        return img, _decode_mask(lbl_path)
+        mask = _decode_mask(lbl_path)
+        if self.cache_dir is not None:
+            packed = np.concatenate([img, mask[..., None]], axis=2)
+            tmp = f"{cpath}.{os.getpid()}.tmp.npy"  # np.save keeps .npy suffix
+            np.save(tmp, packed)
+            os.replace(tmp, cpath)
+        return img, mask
 
 
 class Loader:
@@ -153,6 +175,8 @@ class Loader:
 
     def _assemble_native(self, batch_ids: Sequence[int]):
         """GIL-free C++ batch decode (native/decoder.cpp); None -> PIL fallback."""
+        if self.ds.cache_dir is not None:
+            return None  # the raw cache path (load_item) skips decode entirely
         hw = self._image_hw()
         if hw is None:
             return None
@@ -233,9 +257,11 @@ def make_loaders(cfg) -> Tuple[Loader, Loader, Loader]:
     train_path = os.path.join(cfg.data, "train")
     val_path = os.path.join(cfg.data, "test")
     test_path = os.path.join(cfg.data, "holdout")
-    train_ds = XView2Dataset(train_path, cfg.type, True, index_csv=cfg.index_csv)
-    val_ds = XView2Dataset(val_path, cfg.type, False)
-    test_ds = XView2Dataset(test_path, cfg.type, False)
+    cache = getattr(cfg, "raw_cache", None)
+    train_ds = XView2Dataset(train_path, cfg.type, True, index_csv=cfg.index_csv,
+                             cache_dir=cache)
+    val_ds = XView2Dataset(val_path, cfg.type, False, cache_dir=cache)
+    test_ds = XView2Dataset(test_path, cfg.type, False, cache_dir=cache)
     train = Loader(train_ds, cfg.batch_size, shuffle=True, drop_last=True,
                    num_workers=cfg.num_workers, seed=cfg.seed)
     val = Loader(val_ds, cfg.val_batch_size, shuffle=False, drop_last=False,
