@@ -90,3 +90,27 @@ def test_eval_batch_is_pure_normalize():
     out = np.asarray(eval_batch(jnp.array(imgs)))
     want = (imgs / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bgr_channel_order():
+    """--bgr must reverse each RGB triple before normalization, reproducing
+    the reference's cv2.imread BGR feed (pytorch_loader.py:39-42)."""
+    from xview2_tpu.ops.augment import normalize
+
+    rng = np.random.default_rng(5)
+    img3 = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    out = np.asarray(normalize(jnp.array(img3), 3, bgr=True))
+    want = np.asarray(normalize(jnp.array(img3[..., ::-1]), 3, bgr=False))
+    np.testing.assert_array_equal(out, want)
+
+    # 6-channel pre/post pair: each triple reversed independently
+    img6 = rng.integers(0, 256, (8, 8, 6), np.uint8)
+    out6 = np.asarray(normalize(jnp.array(img6), 6, bgr=True))
+    flipped = np.concatenate([img6[..., 2::-1], img6[..., :2:-1]], axis=-1)
+    want6 = np.asarray(normalize(jnp.array(flipped), 6, bgr=False))
+    np.testing.assert_array_equal(out6, want6)
+
+    # default stays RGB
+    out_rgb = np.asarray(normalize(jnp.array(img3), 3))
+    want_rgb = (img3 / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(out_rgb, want_rgb, rtol=1e-5, atol=1e-6)

@@ -117,3 +117,31 @@ def test_bit_reproducibility(synth_root, tmp_path):
         _, loss = step(state, imgs, msks, jax.random.PRNGKey(42))
         losses.append(float(loss))
     assert losses[0] == losses[1]
+
+
+def test_best_ckpt_selection_nan_guard():
+    """NaN F1 (damage class absent from val split) must still produce exactly
+    one best checkpoint, and must never poison best_f1 (VERDICT weak #5)."""
+    from xview2_tpu.train.trainer import _is_improvement
+
+    nan = float("nan")
+    assert _is_improvement(nan, 0.0, best_exists=False)       # write best once
+    assert not _is_improvement(nan, 0.0, best_exists=True)    # never again on NaN
+    assert not _is_improvement(nan, 50.0, best_exists=True)
+    assert _is_improvement(50.0, 50.0, best_exists=True)      # ties improve (>=)
+    assert not _is_improvement(49.0, 50.0, best_exists=True)
+
+
+def test_profile_trace_stops_on_short_run(synth_root, tmp_path):
+    """--profile on a run shorter than the 6-step stop window must still close
+    the trace (VERDICT weak #4) and write an xplane artifact."""
+    results = str(tmp_path / "res_profile")
+    cfg = Config(type="pre", encoder="resnet50", precision=32, loss_str="ce",
+                 data=synth_root, results=results, batch_size=2, val_batch_size=2,
+                 epochs=1, num_workers=2, train_crop=64, gpus=1, profile=True)
+    trainer.fit(cfg)  # 4 tiles / batch 2 = 2 steps < 6
+    traces = glob.glob(os.path.join(results, "profile", "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, "profiler trace was not stopped/written"
+    # and a second profiled run must not die with "trace already running"
+    trainer.fit(cfg.replace(results=str(tmp_path / "res_profile2")))

@@ -98,3 +98,79 @@ def test_raw_cache_roundtrip_and_speed(synth_root, tmp_path):
     np.testing.assert_array_equal(msk1, msk3)
     files = os.listdir(str(tmp_path / "cache" / "train_post"))
     assert files == ["00000000.npy"]
+
+
+def test_decode_is_rgb(tmp_path):
+    """Pin the channel-order policy: decode delivers RGB (BASELINE.md
+    deviations; the reference's cv2.imread delivers BGR)."""
+    from PIL import Image
+
+    from xview2_tpu.data.pipeline import _decode_image
+
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[..., 0] = 200  # red
+    p = tmp_path / "x_pre_disaster.png"
+    Image.fromarray(arr).save(p)
+    out = _decode_image(str(p))
+    assert out[0, 0, 0] == 200 and out[0, 0, 2] == 0
+
+
+def test_abandoned_iterator_shuts_down_producer(synth_root):
+    """An abandoned epoch (early stop / exception) must not leak the producer
+    thread blocked on q.put with a decoded batch."""
+    import threading
+    import time
+
+    ds = XView2Dataset(os.path.join(synth_root, "train"), "pre", True)
+    loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False,
+                    num_workers=2, prefetch=1)
+    base = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally must unblock + join the producer
+    deadline = time.time() + 10.0
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base
+
+
+def test_default_train_restricts_post_samples(tmp_path):
+    """Default-flag train runs must restrict the post task exactly per
+    reference pytorch_loader.py:101-107: union of rows with any damage flag,
+    after exclusions — via the auto-generated index (data/index.ensure_index)."""
+    import json
+    from glob import glob as _glob
+
+    from PIL import Image
+
+    from xview2_tpu.config import Config
+    from xview2_tpu.data.pipeline import make_loaders
+
+    root = tmp_path / "data"
+    make_synthetic_dataset(str(root), n_train=4, n_val=2, n_test=2, size=96)
+    # tile 1: no damage anywhere -> no class flags -> dropped from post union
+    tgt = sorted(_glob(os.path.join(str(root), "train", "targets", "*post*")))[1]
+    Image.fromarray(np.zeros((96, 96), np.uint8)).save(tgt)
+    # tile 0: excluded via the exclude list (reference generate_idx.py:15)
+    with open(os.path.join(str(root), "train", "exclude.txt"), "w") as f:
+        json.dump([0], f)
+
+    cfg = Config(type="post", data=str(root), results=str(tmp_path / "res"),
+                 num_workers=1)
+    train, _, _ = make_loaders(cfg)
+    assert sorted(train.ds.indices) == [2, 3]
+    assert os.path.exists(os.path.join(cfg.results, "index.csv"))
+
+    # pre task reuses the same generated index: all non-excluded rows
+    cfg_pre = cfg.replace(type="pre")
+    train_pre, _, _ = make_loaders(cfg_pre)
+    assert sorted(train_pre.ds.indices) == [1, 2, 3]
+
+
+def test_explicit_index_csv_must_exist(tmp_path):
+    from xview2_tpu.config import Config
+    from xview2_tpu.data.index import ensure_index
+
+    cfg = Config(index_csv=str(tmp_path / "missing.csv"))
+    with pytest.raises(FileNotFoundError):
+        ensure_index(cfg)

@@ -78,11 +78,12 @@ class Config:
 
     # --- TPU-native extensions (not present in the reference) ---
     profile: bool = False  # capture a jax.profiler trace for the first steps
-    index_csv: Optional[str] = None  # path to index.csv (defaults to bundled)
+    index_csv: Optional[str] = None  # train index.csv; None -> auto-generated under --results on first train
     train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
     spatial_shards: int = 1  # shard image height over a 2nd mesh axis (GSPMD halo exchange)
     pretrained_enc: Optional[str] = None  # .npz from tools/convert_weights.py (reference bakes pretrained=True, unet.py:45)
     raw_cache: Optional[str] = None  # dir for decoded raw-tile cache (skips PNG inflate after epoch 1)
+    bgr: bool = False  # feed BGR pixels like the reference's cv2.imread (parity runs); default RGB
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -206,7 +207,8 @@ def build_parser() -> ArgumentParser:
     arg("--dec_interp", action="store_true", help="Use interpolation instead of transposed convolution in a decoder")
     # TPU-native extensions
     arg("--profile", action="store_true", help="Capture a jax.profiler trace of the first training steps")
-    arg("--index_csv", type=str, default=None, help="Path to train index.csv (defaults to bundled copy)")
+    arg("--index_csv", type=str, default=None,
+        help="Path to train index.csv; if absent it is generated once under --results (data/index.py)")
     arg("--train_crop", type=int, default=512, help="Training crop size")
     arg("--spatial_shards", type=int, default=1,
         help="Shard image height over a second mesh axis (conv halo exchange via GSPMD)")
@@ -214,6 +216,8 @@ def build_parser() -> ArgumentParser:
         help="Converted ImageNet encoder weights (.npz from tools/convert_weights.py)")
     arg("--raw_cache", type=str, default=None,
         help="Directory for a decoded raw-tile cache (epochs after the first skip PNG decode)")
+    arg("--bgr", action="store_true",
+        help="Feed BGR channel order as the reference does (cv2.imread); default is RGB")
     return parser
 
 

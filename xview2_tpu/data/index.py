@@ -35,11 +35,17 @@ def _foreground_box(img_pre: np.ndarray, img_post: np.ndarray):
 
 
 def build_row(idx: int, img_pre_path: str, img_post_path: str,
-              lbl_post_path: str, excluded: set, min_size: int = 512):
+              lbl_post_path: str, excluded: set, min_size: Optional[int] = 512):
+    """One index row; ``min_size=None`` scales the reference's 512-px
+    foreground threshold (``generate_idx.py:18-32``, designed for 1024^2
+    tiles) to half the tile height, so it is exact parity on real xBD data
+    and still meaningful on smaller synthetic tiles."""
     if idx in excluded:
         return None
     img_pre = np.asarray(Image.open(img_pre_path).convert("RGB"))
     img_post = np.asarray(Image.open(img_post_path).convert("RGB"))
+    if min_size is None:
+        min_size = 512 * img_pre.shape[0] // 1024
     min_h, max_h, min_w, max_w = _foreground_box(img_pre, img_post)
     if (max_h - min_h) < min_size or (max_w - min_w) < min_size:
         return None
@@ -52,7 +58,8 @@ def build_row(idx: int, img_pre_path: str, img_post_path: str,
 
 
 def generate_index(data_dir: str, out_csv: str,
-                   exclude_path: Optional[str] = None, n_jobs: int = -1) -> pd.DataFrame:
+                   exclude_path: Optional[str] = None, n_jobs: int = -1,
+                   min_size: Optional[int] = 512) -> pd.DataFrame:
     imgs_pre = sorted(glob.glob(os.path.join(data_dir, "images", "*pre*")))
     imgs_post = sorted(glob.glob(os.path.join(data_dir, "images", "*post*")))
     lbls_post = sorted(glob.glob(os.path.join(data_dir, "targets", "*post*")))
@@ -63,13 +70,44 @@ def generate_index(data_dir: str, out_csv: str,
         with open(exclude_path) as f:
             excluded = set(json.load(f))
     rows = Parallel(n_jobs=n_jobs)(
-        delayed(build_row)(i, imgs_pre[i], imgs_post[i], lbls_post[i], excluded)
+        delayed(build_row)(i, imgs_pre[i], imgs_post[i], lbls_post[i], excluded,
+                           min_size)
         for i in range(len(imgs_pre)))
     rows = [r for r in rows if r is not None]
-    df = pd.DataFrame(rows)
+    df = pd.DataFrame(rows, columns=["idx", "1", "2", "3", "4"])
     os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
     df.to_csv(out_csv, index=False)
     return df
+
+
+def ensure_index(cfg) -> str:
+    """Resolve the train index for a run, generating it when absent.
+
+    The reference *always* restricts training through ``utils/index.csv``
+    (hardcoded read, ``pytorch_loader.py:64, 101-107``); it ships the file
+    precomputed.  We cannot bundle a data artifact, so on first train with no
+    ``--index_csv`` we build it once under ``--results`` with the same
+    foreground-bbox filter (threshold scaled to tile size: exact 512 px on
+    1024^2 tiles) and class-presence flags, honoring an exclude list at
+    ``{data}/train/exclude.txt`` when present (``generate_idx.py:15``).
+    """
+    if cfg.index_csv:
+        if not os.path.exists(cfg.index_csv):
+            raise FileNotFoundError(f"--index_csv {cfg.index_csv} does not exist")
+        return cfg.index_csv
+    out_csv = os.path.join(cfg.results, "index.csv")
+    if not os.path.exists(out_csv):
+        train_dir = os.path.join(cfg.data, "train")
+        exclude = os.path.join(train_dir, "exclude.txt")
+        print(f"generating train index {out_csv} (no --index_csv given)", flush=True)
+        df = generate_index(train_dir, out_csv,
+                            exclude_path=exclude if os.path.exists(exclude) else None,
+                            min_size=None)
+        if len(df) == 0:
+            raise RuntimeError(
+                f"train index is empty: every tile under {train_dir} was excluded "
+                "or failed the foreground-size filter")
+    return out_csv
 
 
 def main(argv=None) -> int:

@@ -229,15 +229,31 @@ class Loader:
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
             return Batch(image=imgs, mask=msks, valid=valid)
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer abandons the iterator.
+
+            A plain ``q.put`` would block forever on a full queue once the
+            consumer stops draining (early stop, exception) — leaking the
+            producer thread, its decoded batch, and the pool every epoch.
+            """
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     ids = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(assemble(ids))
+                    if not put_or_stop(assemble(ids)):
+                        return
             finally:
-                q.put(None)
+                put_or_stop(None)
                 pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -250,15 +266,32 @@ class Loader:
                 yield batch
         finally:
             stop.set()
+            while True:  # unblock a producer mid-put, then let it exit
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30.0)
 
 
 def make_loaders(cfg) -> Tuple[Loader, Loader, Loader]:
-    """DataModule equivalent (reference data_loading/data_module.py)."""
+    """DataModule equivalent (reference data_loading/data_module.py).
+
+    Training is ALWAYS index-restricted, as in the reference (hardcoded
+    ``index.csv`` read, ``pytorch_loader.py:64, 101-107``): when
+    ``--index_csv`` is absent the index is generated once under ``--results``
+    (see ``data/index.ensure_index``).
+    """
     train_path = os.path.join(cfg.data, "train")
     val_path = os.path.join(cfg.data, "test")
     test_path = os.path.join(cfg.data, "holdout")
     cache = getattr(cfg, "raw_cache", None)
-    train_ds = XView2Dataset(train_path, cfg.type, True, index_csv=cfg.index_csv,
+    index_csv = cfg.index_csv
+    if cfg.exec_mode == "train":
+        from xview2_tpu.data.index import ensure_index
+
+        index_csv = ensure_index(cfg)
+    train_ds = XView2Dataset(train_path, cfg.type, True, index_csv=index_csv,
                              cache_dir=cache)
     val_ds = XView2Dataset(val_path, cfg.type, False, cache_dir=cache)
     test_ds = XView2Dataset(test_path, cfg.type, False, cache_dir=cache)

@@ -44,9 +44,19 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
 CROP = 512
 
 
-def normalize(img: Array, channels: int = 3) -> Array:
-    """A.Normalize semantics: (img/255 - mean)/std, per 3-channel group."""
+def normalize(img: Array, channels: int = 3, bgr: bool = False) -> Array:
+    """A.Normalize semantics: (img/255 - mean)/std, per 3-channel group.
+
+    ``bgr=True`` reverses each RGB triple first: the reference decodes with
+    ``cv2.imread`` and therefore feeds BGR pixels through RGB-order ImageNet
+    stats (``pytorch_loader.py:39-42``).  Our default is RGB — the arguably
+    correct pairing with RGB-pretrained encoders — and ``--bgr`` reproduces
+    the reference bit-for-bit for parity runs (documented in BASELINE.md).
+    """
     img = img.astype(jnp.float32) / 255.0
+    if bgr:
+        reps = channels // 3
+        img = img.reshape(img.shape[:-1] + (reps, 3))[..., ::-1].reshape(img.shape)
     reps = channels // 3
     mean = jnp.tile(IMAGENET_MEAN, reps)
     std = jnp.tile(IMAGENET_STD, reps)
@@ -136,7 +146,7 @@ def _intensity_chain(rng: Array, img3: Array) -> Array:
 
 def augment_sample(
     rng: Array, img: Array, mask: Array, *, use_autoaugment: bool = False,
-    crop: int = CROP,
+    crop: int = CROP, bgr: bool = False,
 ) -> Tuple[Array, Array]:
     """Full train-time augmentation of one (image, mask) sample.
 
@@ -149,7 +159,7 @@ def augment_sample(
         k_crop, k_aa = jax.random.split(rng, 2)
         out, mask = _zoom_crop_noscale(k_crop, img, mask, crop)
         out, mask = autoaugment_sample(k_aa, out, mask)
-        out = normalize(out, c)
+        out = normalize(out, c, bgr)
         return out, mask.astype(jnp.int32)
 
     k_crop, k_flip, k_int_pre, k_int_post = jax.random.split(rng, 4)
@@ -161,7 +171,7 @@ def augment_sample(
         pre = _intensity_chain(k_int_pre, out[..., :3])
         post = _intensity_chain(k_int_post, out[..., 3:])
         out = jnp.concatenate([pre, post], axis=-1)
-    out = normalize(out, c)
+    out = normalize(out, c, bgr)
     return out, mask.astype(jnp.int32)
 
 
@@ -189,6 +199,6 @@ def augment_batch(rng: Array, images: Array, masks: Array,
     return jax.vmap(fn)(keys, images, masks)
 
 
-def eval_batch(images: Array) -> Array:
+def eval_batch(images: Array, bgr: bool = False) -> Array:
     """Eval-time: normalize only, full tiles (reference pytorch_loader.py:151-171)."""
-    return jax.vmap(lambda im: normalize(im, im.shape[-1]))(images)
+    return jax.vmap(lambda im: normalize(im, im.shape[-1], bgr))(images)

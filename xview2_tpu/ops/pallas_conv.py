@@ -19,7 +19,12 @@ A custom VJP supplies both gradients:
     IO-transposed kernel (conv identity for stride 1, SAME),
   * dL/dW = sequential-grid accumulation of A^T @ dY over all row blocks.
 
-Used by `models/layers.ConvLayer` when channels are MXU-unfriendly (<=64).
+Status: kept as a recorded NEGATIVE result — NOT wired into the model.  On
+hardware the im2col formulation loses to XLA's conv (12.6 ms vs 8.0 ms fwd on
+16x512^2x32; see BASELINE.md): the (8, 512, 32)-tile -> matmul-operand
+relayout dominates, and a 3-row-band variant with 3x fewer lane concats
+measured the same, proving the relayout itself is the cost.  The production
+path uses XLA convs (see ``models/layers.ConvLayer``).
 Reference counterpart: the cuDNN 3x3 convs of ``model/layers.py:89-100``.
 """
 

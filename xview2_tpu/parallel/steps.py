@@ -83,7 +83,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
 
     def step_fn(state: TrainState, images: Array, masks: Array, rng: Array):
         keys = jax.random.split(rng, images.shape[0])
-        aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop)
+        aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop,
+                                bgr=cfg.bgr)
         x, y = jax.vmap(aug)(keys, images, masks)
 
         (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
@@ -120,7 +121,7 @@ def make_eval_step(cfg: Config, model):
 
     def step_fn(params, batch_stats, f1_state: F1State,
                 images: Array, masks: Array, valid: Array):
-        x = eval_batch(images)
+        x = eval_batch(images, bgr=cfg.bgr)
         variables = {"params": params, "batch_stats": batch_stats}
         logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
         loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)

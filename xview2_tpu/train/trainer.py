@@ -23,6 +23,7 @@ class: localization probs = sigmoid of channel 1; damage probs = softmax
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Optional
@@ -52,6 +53,20 @@ from xview2_tpu.train.scheduler import noam_schedule
 
 def _pad_to(batch: int, devices: int) -> int:
     return -(-batch // devices) * devices
+
+
+def _is_improvement(f1: float, best_f1: float, best_exists: bool) -> bool:
+    """Best-checkpoint selection, NaN-safe.
+
+    The post-task harmonic-mean F1 is NaN when a damage class is absent from
+    the val split (parity-faithful, ops/metrics.py); ``NaN >= x`` is always
+    False, which would mean a best checkpoint is never written.  Under NaN we
+    still persist a best checkpoint once so eval always has one, but never
+    treat NaN as an improvement afterwards.
+    """
+    if math.isnan(f1):
+        return not best_exists
+    return f1 >= best_f1
 
 
 class Runner:
@@ -179,10 +194,15 @@ def fit(cfg: Config) -> str:
     last_path = os.path.join(cfg.results, "checkpoints", "last")
     patience_left = cfg.patience
 
+    global_step = int(jax.device_get(state.step))
+    profiling = False
     if cfg.profile:
         jax.profiler.start_trace(os.path.join(cfg.results, "profile"))
+        profiling = True
+    # stop after 6 steps *from here* (resume-safe), or at loop exit if the
+    # run is shorter — a trace must never be left running.
+    profile_stop_at = global_step + 6
 
-    global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         n_imgs = 0
@@ -191,16 +211,18 @@ def fit(cfg: Config) -> str:
             state, loss = train_step(state, imgs, msks, rng)
             global_step += 1
             n_imgs += imgs.shape[0]
-            if cfg.profile and global_step == 6:
+            if profiling and global_step >= profile_stop_at:
                 jax.profiler.stop_trace()
+                profiling = False
         train_time = time.time() - t0
 
         f1, per_class, val_loss = runner.run_eval(eval_step, state.params,
                                                   state.batch_stats, val_loader)
-        improved = f1 >= best_f1
+        improved = _is_improvement(f1, best_f1, ckpt_lib.checkpoint_exists(best_path))
         if improved:
-            best_f1, best_epoch = f1, epoch
-            patience_left = cfg.patience
+            if not math.isnan(f1):  # never poison best_f1 with NaN
+                best_f1, best_epoch = f1, epoch
+                patience_left = cfg.patience
             ckpt_lib.save_checkpoint(best_path, jax.device_get(state), epoch=epoch,
                                      best_f1=best_f1, best_epoch=best_epoch, cfg=cfg)
         else:
@@ -216,6 +238,8 @@ def fit(cfg: Config) -> str:
             print(f"early stopping at epoch {epoch} (patience {cfg.patience})", flush=True)
             break
 
+    if profiling:  # run shorter than the 6-step window
+        jax.profiler.stop_trace()
     logger.close()
     return best_path
 
