@@ -185,10 +185,22 @@ class UpsampleBlock(nn.Module):
     skip_channels: int
     attention: bool = False
     dec_interp: bool = False
+    packed_out: bool = False  # s2d-packed tail; requires skip_channels == 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, skip: Optional[Array] = None, train: bool = False) -> Array:
+        if self.packed_out:
+            # Output stays s2d-packed: (B, H, W, 4*features), phase-major.
+            # ConvT k2s2's four output phases are exactly the s2d phases, so
+            # the upsample is one dense 1x1 conv and no interleave happens.
+            assert self.skip_channels == 0 and not self.dec_interp
+            kt = _ConvTKernel(self.features, x.shape[-1], name="conv_transpose")()
+            kflat = kt.reshape(4 * self.features, x.shape[-1]).astype(self.dtype)
+            out = jnp.einsum("bhwc,pc->bhwp", x.astype(self.dtype), kflat)
+            return PackedConvBlock(self.features, dtype=self.dtype,
+                                   name="conv_block")(out, train)
+
         if self.dec_interp:
             out = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                           kernel_init=torch_conv_init, dtype=self.dtype, name="conv")(x)
@@ -312,6 +324,188 @@ class FusionBlock(nn.Module):
         return new_pre, new_post
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth packed decoder tail.
+#
+# The final decoder stage runs 3x3 convs / BN / LeakyReLU on (B, 512, 512, 32)
+# maps; with C=32 on the 128-wide TPU lane dimension everything there (BN-stat
+# reductions, elementwise chains, weight-grad convs, the ConvTranspose pixel
+# interleave) executes at <=25% lane utilization — profiled at ~46 ms of a
+# 125 ms train step.  Packing a 2x2 pixel block into channels (s2d) makes the
+# same math run on (B, 256, 256, 128) with full lanes: the k2s2 transposed
+# conv becomes a dense 1x1 conv (its output phases ARE the s2d phases, so the
+# interleave copies vanish), each 3x3 conv becomes a 3x3 conv over packed
+# channels with a structurally-sparse kernel built on the fly from the SAME
+# (3,3,Ci,Co) parameters, and BN folds per-phase sums into per-channel stats.
+# Measured: 48.3 -> 22.2 ms for the tail chain fwd+bwd (BASELINE.md round 2);
+# bit-level equivalent modulo float reassociation.  Parameter trees are
+# UNCHANGED (checkpoints, transplant and torch-parity conventions all hold).
+# Reference counterpart: cuDNN convs of ``model/layers.py:80-100``.
+# ---------------------------------------------------------------------------
+
+def _phase_matrix() -> np.ndarray:
+    """M[u, a, d, h]: coarse offset u, in-phase a, out-phase d, fine tap h.
+    1 where fine offset 2(u-1)+a-d equals tap h-1 (all indices 0-based)."""
+    m = np.zeros((3, 2, 2, 3), np.float32)
+    for u in range(3):
+        for a in range(2):
+            for d in range(2):
+                delta = 2 * (u - 1) + a - d
+                if -1 <= delta <= 1:
+                    m[u, a, d, delta + 1] = 1.0
+    return m
+
+
+_PHASE = _phase_matrix()
+
+
+def s2d_conv_kernel(w: Array) -> Array:
+    """Embed a fine (3,3,Ci,Co) kernel as the packed (3,3,4Ci,4Co) kernel
+    computing the identical stride-1 SAME conv on s2d(2)-packed activations."""
+    ci, co = w.shape[2], w.shape[3]
+    ph = jnp.asarray(_PHASE, w.dtype)
+    wp = jnp.einsum("hwio,uadh,vbew->uvabideo", w, ph, ph)
+    return wp.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def s2d_head_kernel(w: Array, groups: int) -> Array:
+    """Embed a fine 1x1 head kernel (1,1,groups*C,n) as the packed
+    (1,1,groups*4C,4n) block-diagonal-over-phases kernel.  ``groups`` is the
+    number of concatenated packed branches (2 for siamese/parallel concat)."""
+    fine_in, n = w.shape[2], w.shape[3]
+    c = fine_in // groups
+    w3 = w.reshape(groups, c, n)
+    eye = jnp.eye(4, dtype=w.dtype)
+    wp = jnp.einsum("gco,pq->gpcqo", w3, eye)
+    return wp.reshape(1, 1, groups * 4 * c, 4 * n)
+
+
+def depth_to_space(x: Array) -> Array:
+    """(B, H, W, 4n) phase-major packed -> (B, 2H, 2W, n) fine."""
+    b, h, w, p = x.shape
+    n = p // 4
+    x = x.reshape(b, h, w, 2, 2, n)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, n)
+
+
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (same name/shape/init) used by
+    the packed path so checkpoints stay layout-identical."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", torch_conv_init, self.shape)
+
+
+class _PackedBN(nn.Module):
+    """BatchNorm over s2d-packed activations with flax-compatible variables.
+
+    Params/stats are per FINE channel (C,); batch statistics fold the 4 phase
+    copies of each channel, reproducing fine-grid BN exactly (sum
+    reassociation aside) while the big reduction runs with 4C lanes.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            n = x.shape[0] * x.shape[1] * x.shape[2] * 4
+            s1 = jnp.sum(xf, axis=(0, 1, 2)).reshape(4, c).sum(0)
+            s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2)).reshape(4, c).sum(0)
+            mean = s1 / n
+            var = s2 / n - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        mul = (jax.lax.rsqrt(var + BN_EPS) * scale).astype(self.dtype)
+        y = (x - jnp.tile(mean.astype(self.dtype), 4)) * jnp.tile(mul, 4) \
+            + jnp.tile(bias.astype(self.dtype), 4)
+        return y.astype(self.dtype)
+
+
+class PackedConvLayer(nn.Module):
+    """ConvLayer (3x3 conv + BN + LeakyReLU) on s2d-packed activations.
+
+    Child names/param shapes match ``ConvLayer`` (``Conv_0``/``BatchNorm_0``)
+    so the variable tree is indistinguishable from the fine-grid module.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        ci = x.shape[-1] // 4
+        w = _ConvKernel((3, 3, ci, self.features), name="Conv_0")()
+        wp = s2d_conv_kernel(w).astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
+        return leaky_relu(x)
+
+
+class PackedConvBlock(nn.Module):
+    """Two stacked PackedConvLayers (variable tree matches ``ConvBlock``)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = PackedConvLayer(self.features, dtype=self.dtype, name="conv1")(x, train)
+        return PackedConvLayer(self.features, dtype=self.dtype, name="conv2")(x, train)
+
+
+class _ConvTKernel(nn.Module):
+    """Parameter-only stand-in for ``ConvTranspose`` (kernel (2,2,out,in))."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", torch_conv_init,
+                          (2, 2, self.features, self.in_features))
+
+
+class _PackedHead(nn.Module):
+    """1x1 output head in the packed domain (params match ``nn.Conv`` fine)."""
+
+    fine_in: int
+    head_n: int
+    use_bias: bool
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param("kernel", torch_conv_init, (1, 1, self.fine_in, self.head_n))
+        wp = s2d_head_kernel(kernel, self.groups).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.head_n,))
+            out = out + jnp.tile(bias, 4).astype(out.dtype)
+        return out
+
+
 def _coral_bias_init(key, shape, dtype=jnp.float32):
     del key
     assert shape == (3,)
@@ -329,10 +523,14 @@ class OutputBlock(nn.Module):
 
     n_class: int
     interpolate: bool = False
+    packed_in: bool = False  # input is s2d-packed (the packed decoder tail)
+    packed_groups: int = 1   # concatenated packed branches (2 for siamese/parallel)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.packed_in:
+            return self._packed(x, train)
         if self.n_class == 3:  # CORAL head
             out = nn.Conv(1, (1, 1), use_bias=False, kernel_init=torch_conv_init,
                           dtype=self.dtype, name="conv")(x)
@@ -344,4 +542,20 @@ class OutputBlock(nn.Module):
         if self.interpolate:
             size = (512, 512) if train else (1024, 1024)
             out = interpolate_bilinear(out, size)
+        return out
+
+    def _packed(self, x: Array, train: bool) -> Array:
+        """Head over an s2d-packed tail: block-diagonal 1x1 conv in the packed
+        domain, then depth-to-space of the tiny logits.  Params are the FINE
+        head's (shape/name-identical), so checkpoints are interchangeable."""
+        assert not self.interpolate, "--interpolate has no decoder to pack"
+        fine_in = x.shape[-1] // 4
+        head_n = 1 if self.n_class == 3 else self.n_class  # CORAL: single logit
+        out = _PackedHead(fine_in=fine_in, head_n=head_n, use_bias=self.n_class != 3,
+                          groups=self.packed_groups, dtype=self.dtype,
+                          name="conv")(x)
+        out = depth_to_space(out)
+        if self.n_class == 3:
+            bias = self.param("coral_bias", _coral_bias_init, (3,))
+            out = out + bias.astype(out.dtype)
         return out

@@ -34,24 +34,34 @@ Array = jax.Array
 DECODER_CHANNELS = (512, 256, 128, 64, 32)  # reference unet.py:90
 
 
-def make_decoder_stages(encf, dilation, attention, no_skip, dec_interp, dtype):
+def make_decoder_stages(encf, dilation, attention, no_skip, dec_interp, dtype,
+                        packed_tail=True):
     """Build the 5 decoder UpsampleBlocks with dilation-aware truncation
     (reference ``unet.py:89-110``).  Returns ``[dec_l1..dec_l5]`` with leading
-    ``None``s when dilation removes stages."""
-    decf = DECODER_CHANNELS
+    ``None``s when dilation removes stages.
 
-    def up(out_ch, skip_ch):
+    ``packed_tail`` keeps the final (skipless) stage s2d-packed — the 512^2
+    x32ch tail runs 2.2x faster with full TPU lanes (layers.py) — and requires
+    the consuming head to use ``OutputBlock(packed_in=True)``.  Param trees
+    are identical either way.
+    """
+    decf = DECODER_CHANNELS
+    packed = packed_tail and not dec_interp
+
+    def up(out_ch, skip_ch, last=False):
         return UpsampleBlock(out_ch, 0 if no_skip else skip_ch, attention=attention,
-                             dec_interp=dec_interp, dtype=dtype)
+                             dec_interp=dec_interp, packed_out=packed and last,
+                             dtype=dtype)
 
     if dilation == 1:
         return [up(decf[0], encf[-2]), up(decf[1], encf[-3]), up(decf[2], encf[-4]),
-                up(decf[3], encf[-5]), up(decf[4], 0)]
+                up(decf[3], encf[-5]), up(decf[4], 0, last=True)]
     if dilation == 2:
         return [None, up(decf[1], encf[-3]), up(decf[2], encf[-4]),
-                up(decf[3], encf[-5]), up(decf[4], 0)]
+                up(decf[3], encf[-5]), up(decf[4], 0, last=True)]
     if dilation == 4:
-        return [None, None, up(decf[2], encf[-4]), up(decf[3], encf[-5]), up(decf[4], 0)]
+        return [None, None, up(decf[2], encf[-4]), up(decf[3], encf[-5]),
+                up(decf[4], 0, last=True)]
     raise ValueError("Dilation can be set to 1, 2 or 4")
 
 
@@ -76,6 +86,12 @@ def _run_decoder(dec_layers, dilation, no_skip, encs, train):
     dec5 = dec_l5(dec4, None, train)
     return dec5, dec4, dec3
 
+
+
+def _tail_packed(cfg: Config) -> bool:
+    """dec_l5 is s2d-packed unless the decoder is absent (--interpolate) or
+    uses the interpolation upsample path (--dec_interp)."""
+    return not cfg.interpolate and not cfg.dec_interp
 
 class UNetTemplate(nn.Module):
     """Shared encoder + optional PPM/ASPP bottleneck + decoder
@@ -115,11 +131,17 @@ class UNetTemplate(nn.Module):
 
 
 class OutputTemplate(nn.Module):
-    """Final head + train-only deep-supervision heads (reference unet.py:175-197)."""
+    """Final head + train-only deep-supervision heads (reference unet.py:175-197).
+
+    ``packed``/``packed_groups``: the main head consumes the s2d-packed
+    decoder tail (DS heads see the unpacked dec4/dec3 and are unaffected).
+    """
 
     n_class: int
     deep_supervision: bool
     interpolate: bool = False
+    packed: bool = False
+    packed_groups: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -129,6 +151,8 @@ class OutputTemplate(nn.Module):
             self.output_block_ds3 = OutputBlock(self.n_class, dtype=self.dtype)
             self.output_block_ds4 = OutputBlock(self.n_class, dtype=self.dtype)
         self.output_block = OutputBlock(self.n_class, interpolate=self.interpolate,
+                                        packed_in=self.packed and not self.interpolate,
+                                        packed_groups=self.packed_groups,
                                         dtype=self.dtype)
 
     def __call__(self, dec5, dec4, dec3, train: bool = False):
@@ -147,7 +171,9 @@ class UNetLoc(nn.Module):
     def setup(self):
         self.unet = UNetTemplate(self.cfg)
         self.output_block = OutputTemplate(self.n_class, self.cfg.deep_supervision,
-                                           self.cfg.interpolate, self.cfg.compute_dtype)
+                                           self.cfg.interpolate,
+                                           packed=_tail_packed(self.cfg),
+                                           dtype=self.cfg.compute_dtype)
 
     def __call__(self, data: Array, train: bool = False):
         dec5, dec4, dec3 = self.unet(data, train)
@@ -174,7 +200,9 @@ class SiameseUNet(nn.Module):
     def setup(self):
         self.unet = UNetTemplate(self.cfg)
         self.output_block = OutputTemplate(self.n_class, self.cfg.deep_supervision,
-                                           self.cfg.interpolate, self.cfg.compute_dtype)
+                                           self.cfg.interpolate,
+                                           packed=_tail_packed(self.cfg), packed_groups=2,
+                                           dtype=self.cfg.compute_dtype)
 
     def __call__(self, data: Array, train: bool = False):
         pre, post = _split_pair(data)
@@ -202,10 +230,10 @@ class SiameseEncUNet(nn.Module):
         doubled = [2 * c for c in chans]
         self.dec_layers = make_decoder_stages(
             doubled, cfg.dilation, cfg.attention, cfg.no_skip, cfg.dec_interp, dtype)
-        n_class = self.n_class
-        if cfg.loss_str == "mse":
-            n_class = 1
-        self.output_block = OutputTemplate(n_class, cfg.deep_supervision, dtype=dtype)
+        # n_class already reflects the loss head rule (Config.n_class: mse -> 1,
+        # coral -> 3); get_dmg_unet passes it in — no duplicated derivation here.
+        self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision,
+                                           packed=_tail_packed(cfg), dtype=dtype)
 
     def _encode(self, data, train):
         enc1 = self.enc_l1(data, train)
@@ -251,8 +279,10 @@ class FusedUNet(nn.Module):
                         features=chans[i], dtype=dtype)
             for i in range(5)
         ]
-        pre_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp, dtype)
-        post_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp, dtype)
+        pre_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp,
+                                      dtype, packed_tail=False)
+        post_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp,
+                                       dtype, packed_tail=False)
         decf = DECODER_CHANNELS
         self.dec_fusion = [
             FusionBlock(pre_layer=pre_dec[i], post_layer=post_dec[i],
@@ -301,7 +331,8 @@ class FusedEncUNet(nn.Module):
         ]
         self.dec_layers = make_decoder_stages(chans, 1, cfg.attention, False,
                                               cfg.dec_interp, dtype)
-        self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision, dtype=dtype)
+        self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision,
+                                           packed=not cfg.dec_interp, dtype=dtype)
 
     def __call__(self, data: Array, train: bool = False):
         pre, post = _split_pair(data)
@@ -327,7 +358,9 @@ class ParallelUNet(nn.Module):
         self.unet_pre = UNetTemplate(self.cfg)
         self.unet_post = UNetTemplate(self.cfg)
         self.output_block = OutputTemplate(self.n_class, self.cfg.deep_supervision,
-                                           self.cfg.interpolate, self.cfg.compute_dtype)
+                                           self.cfg.interpolate,
+                                           packed=_tail_packed(self.cfg), packed_groups=2,
+                                           dtype=self.cfg.compute_dtype)
 
     def __call__(self, data: Array, train: bool = False):
         pre, post = _split_pair(data)
@@ -361,7 +394,8 @@ class ParallelEncUNet(nn.Module):
             self.dec_layers = make_decoder_stages(
                 doubled, cfg.dilation, cfg.attention, cfg.no_skip, cfg.dec_interp, dtype)
         self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision,
-                                           cfg.interpolate, dtype)
+                                           cfg.interpolate,
+                                           packed=_tail_packed(cfg), dtype=dtype)
 
     def _encode(self, stages, data, train):
         feats = []
