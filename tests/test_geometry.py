@@ -53,12 +53,21 @@ def test_dilation_preserves_resolution(dilation, last_shapes):
 
 def test_unet_template_decoder_channels():
     # reference decoder channels [512,256,128,64,32] (unet.py:90); returned
-    # maps are (dec5, dec4, dec3) at full/half/quarter resolution
+    # maps are (dec5, dec4, dec3).  dec5 is s2d-packed (half resolution,
+    # 4x channels, phase-major — layers.py packed tail; equivalence to the
+    # fine grid is pinned by tests/test_packed_tail.py); dec4/dec3 are fine
+    # half/quarter-resolution maps.
     cfg = Config(type="pre", encoder="resnet50", precision=32)
     m = UNetTemplate(cfg)
     out_shapes = jax.eval_shape(
         lambda x: m.init_with_output(KEY, x, False)[0], jnp.zeros((1, 64, 64, 3)))
     dec5, dec4, dec3 = out_shapes
-    assert dec5.shape == (1, 64, 64, 32)
+    assert dec5.shape == (1, 32, 32, 4 * 32)
     assert dec4.shape == (1, 32, 32, 64)
     assert dec3.shape == (1, 16, 16, 128)
+    # --dec_interp uses the unpacked path: dec5 comes back fine-grid
+    cfg2 = Config(type="pre", encoder="resnet50", precision=32, dec_interp=True)
+    m2 = UNetTemplate(cfg2)
+    dec5f, _, _ = jax.eval_shape(
+        lambda x: m2.init_with_output(KEY, x, False)[0], jnp.zeros((1, 64, 64, 3)))
+    assert dec5f.shape == (1, 64, 64, 32)
