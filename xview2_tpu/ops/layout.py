@@ -1,0 +1,85 @@
+"""Explicit TPU relayout at the model/loss seam.
+
+The on-device augmentation pipeline ends in vmapped per-sample gathers (crop,
+zoom warp, mask sampling — ``ops/augment.py``), and XLA:TPU's layout
+assignment propagates their *batch-minor* output layout (e.g.
+``s32[16,512,512]{0,2,1}``) into every consumer.  The loss block then runs all
+its per-pixel work (log-softmax, focal, dice partials, and their transposes)
+with the 16-wide batch dim on the 128-wide vector lanes — ~12% lane occupancy,
+measured ~11.5 ms of a 95 ms headline train step (8x off the HBM stream rate).
+
+``relayout_standard`` forces a physical copy into the default row-major
+layout: an identity Pallas kernel whose operands/results Mosaic constrains to
+standard layouts, so XLA must materialize the relayout and cannot elide the
+custom call.  Measured effect on the headline step (v5e, batch 16): 99.8 ->
+89.2 ms wall (loss block ~11.5 -> ~1.5 ms device time).  The copy itself is
+exact (bit-identical values); downstream reductions may re-associate.
+
+Trailing dims are collapsed before the kernel so the minor dim is lane-wide —
+a small channel dim (e.g. 2-class logits) would otherwise be padded to 128
+lanes in VMEM (128 MB of scoped VMEM for a (1,512,512,2) window).
+
+On non-TPU backends this is a no-op: the layout pathology is TPU-specific and
+Mosaic kernels don't run on the CPU test backend.  Under a multi-chip GSPMD
+step, XLA has no partitioning rule for the custom call and falls back to
+replicating it (correct, but it adds a gather); if multi-chip profiles ever
+show that gather, wrap the call in ``shard_map`` over the data axis.
+
+Reference counterpart: none — torch/cuDNN (NCHW) has no analogous
+layout-propagation failure mode; this is TPU-native plumbing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def _pallas_identity(x: Array, interpret: bool = False) -> Array:
+    orig_shape = x.shape
+    if x.ndim > 3:
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+    elif x.ndim < 2:
+        x = x.reshape(1, -1)
+    blk = (1,) + x.shape[1:]
+    out = pl.pallas_call(
+        _copy_kernel,
+        grid=(x.shape[0],),
+        in_specs=[pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1))],
+        out_specs=pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+    return out.reshape(orig_shape)
+
+
+@jax.custom_vjp
+def _relayout(x: Array) -> Array:
+    return _pallas_identity(x)
+
+
+def _relayout_fwd(x):
+    return _pallas_identity(x), None
+
+
+def _relayout_bwd(_, g):
+    # relayout the cotangent too: the loss-side backward then also runs on
+    # standard layouts, and the model side receives a clean buffer
+    return (_pallas_identity(g),)
+
+
+_relayout.defvjp(_relayout_fwd, _relayout_bwd)
+
+
+def relayout_standard(x: Array) -> Array:
+    """Force ``x`` into a standard-layout buffer on TPU; identity elsewhere."""
+    if jax.default_backend() != "tpu":
+        return x
+    return _relayout(x)

@@ -22,6 +22,7 @@ import optax
 
 from xview2_tpu.config import Config
 from xview2_tpu.ops.augment import augment_sample, eval_batch
+from xview2_tpu.ops.layout import relayout_standard
 from xview2_tpu.ops.losses import deep_supervision_loss, make_loss_fn
 from xview2_tpu.ops.metrics import F1State, update_f1_state
 
@@ -71,10 +72,13 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, True, mutable=["batch_stats"])
+        # standard-layout seam between model and loss: without it the
+        # augmentation gathers' batch-minor layout propagates into ~11.5 ms of
+        # lane-starved loss ops (ops/layout.py; -10.6 ms on the headline step)
         if isinstance(outs, list):
-            loss = deep_supervision_loss(loss_fn, outs, y)
+            loss = deep_supervision_loss(loss_fn, [relayout_standard(o) for o in outs], y)
         else:
-            loss = loss_fn(outs, y)
+            loss = loss_fn(relayout_standard(outs), y)
         return loss, mutated["batch_stats"]
 
     if remat:
@@ -86,6 +90,7 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop,
                                 bgr=cfg.bgr)
         x, y = jax.vmap(aug)(keys, images, masks)
+        y = relayout_standard(y)
 
         (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
             state.params, state.batch_stats, x, y)
@@ -124,6 +129,7 @@ def make_eval_step(cfg: Config, model):
         x = eval_batch(images, bgr=cfg.bgr)
         variables = {"params": params, "batch_stats": batch_stats}
         logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
+        logits = relayout_standard(logits)  # see make_train_step
         loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)
         f1_state = update_f1_state(f1_state, logits, masks, n_class=n_class,
                                    loss_str=cfg.loss_str, sample_valid=valid)
