@@ -66,7 +66,9 @@ def test_deep_supervision_train_only():
     cfg = Config(type="pre", encoder="resnet50", deep_supervision=True, precision=32)
     outs = run_model(cfg, train=True)
     assert isinstance(outs, list) and len(outs) == 3
-    assert outs[0].shape == (1, 64, 64, 2)
+    # main head emits the packed loss view in train mode (B, H/2, 2W, n) —
+    # a pixel permutation of the fine grid (layers.OutputBlock)
+    assert outs[0].shape == (1, 32, 128, 2)
     assert outs[1].shape == (1, 32, 32, 2)  # dec4 head
     assert outs[2].shape == (1, 16, 16, 2)  # dec3 head
     out = run_model(cfg, train=False)
@@ -124,10 +126,11 @@ def test_train_step_gradients_flow():
     v = m.init(KEY, x, True)
 
     def loss_fn(params):
-        from xview2_tpu.ops.losses import make_loss_fn
+        from xview2_tpu.ops.losses import make_loss_fn, packed_loss_view_labels
         out, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]},
                          x, True, mutable=["batch_stats"])
-        return make_loss_fn("ce+dice", "pre")(out, y)
+        # train-mode logits come out in the packed loss view (layers.py)
+        return make_loss_fn("ce+dice", "pre")(out, packed_loss_view_labels(y))
 
     grads = jax.grad(loss_fn)(v["params"])
     flat = jax.tree.leaves(grads)

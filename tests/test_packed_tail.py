@@ -82,3 +82,38 @@ def test_param_tree_identical_packed_vs_fine():
     pp = {jax.tree_util.keystr(p): l.shape
           for p, l in jax.tree_util.tree_leaves_with_path(vp)}
     assert pf == pp
+
+
+@pytest.mark.parametrize("loss_str,task", [
+    ("focal+dice", "pre"), ("ce", "pre"), ("ohem", "pre"),
+    ("ohem+dice", "post"), ("coral", "post"), ("mse", "post"),
+])
+def test_loss_view_equals_fine_loss(loss_str, task):
+    """The packed loss view is a pixel permutation: every loss term must be
+    identical (up to reduction reassociation) to the fine-grid loss."""
+    from xview2_tpu.models.layers import unview_loss_logits
+    from xview2_tpu.ops.losses import make_loss_fn, packed_loss_view_labels
+
+    rng = np.random.default_rng(7)
+    n = {"pre": 2, "post": 4, }[task]
+    if loss_str == "coral":
+        n = 3
+    elif loss_str == "mse":
+        n = 1
+    view = jnp.asarray(rng.normal(size=(2, 8, 64, n)), jnp.float32)  # (B,H/2,4W,n)
+    fine = unview_loss_logits(view)                                   # (B,16,32,n)
+    y = jnp.asarray(rng.integers(0, 5 if task == "post" else 2, (2, 16, 32)),
+                    jnp.int32)
+    loss_fn = make_loss_fn(loss_str, task)
+    lf = loss_fn(fine, y)
+    lv = loss_fn(view, packed_loss_view_labels(y))
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(lf), rtol=2e-6, atol=2e-6)
+
+
+def test_unview_inverts_loss_view():
+    from xview2_tpu.models.layers import unview_loss_logits
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 4, 8)), jnp.float32)
+    b, h, w, pn = x.shape
+    view = x.reshape(b, h, 4 * w, pn // 4)
+    np.testing.assert_array_equal(np.asarray(unview_loss_logits(view)),
+                                  np.asarray(depth_to_space(x)))

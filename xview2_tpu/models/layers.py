@@ -389,6 +389,22 @@ def depth_to_space(x: Array) -> Array:
     return x.reshape(b, 2 * h, 2 * w, n)
 
 
+def unview_loss_logits(x: Array) -> Array:
+    """Inverse of the packed *loss view*: (B, H, 4W, n) -> (B, 2H, 2W, n).
+
+    The loss view (``OutputBlock(emit_loss_view=True)``, train mode) is the
+    packed head output with phases merged into the W axis — a pure pixel
+    permutation of the fine logits (index ``j*4 + di*2 + dj``), consumed by
+    the permutation-invariant losses without any depth-to-space transpose.
+    This inverse exists for tests/debugging.
+    """
+    b, h, w4, n = x.shape
+    w = w4 // 4
+    x = x.reshape(b, h, w, 2, 2, n)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, n)
+
+
 class _ConvKernel(nn.Module):
     """Parameter-only stand-in for ``nn.Conv`` (same name/shape/init) used by
     the packed path so checkpoints stay layout-identical."""
@@ -525,6 +541,7 @@ class OutputBlock(nn.Module):
     interpolate: bool = False
     packed_in: bool = False  # input is s2d-packed (the packed decoder tail)
     packed_groups: int = 1   # concatenated packed branches (2 for siamese/parallel)
+    emit_loss_view: bool = False  # train mode: skip d2s, emit (B,H,4W,n) view
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -554,7 +571,15 @@ class OutputBlock(nn.Module):
         out = _PackedHead(fine_in=fine_in, head_n=head_n, use_bias=self.n_class != 3,
                           groups=self.packed_groups, dtype=self.dtype,
                           name="conv")(x)
-        out = depth_to_space(out)
+        if train and self.emit_loss_view:
+            # (B,H,W,4n) -> (B,H,4W,n): merge the phase blocks into W — a
+            # bitcast, not a transpose.  The losses are pixel-permutation
+            # invariant, so this IS the logits tensor for training purposes;
+            # the matching label view is ops/losses.packed_loss_view_labels.
+            b, h, w, pn = out.shape
+            out = out.reshape(b, h, 4 * w, pn // 4)
+        else:
+            out = depth_to_space(out)
         if self.n_class == 3:
             bias = self.param("coral_bias", _coral_bias_init, (3,))
             out = out + bias.astype(out.dtype)

@@ -93,6 +93,21 @@ def _tail_packed(cfg: Config) -> bool:
     uses the interpolation upsample path (--dec_interp)."""
     return not cfg.interpolate and not cfg.dec_interp
 
+
+def emits_packed_loss_view(cfg: Config) -> bool:
+    """True when ``build_model(cfg)``'s TRAIN-mode main logits come out in the
+    packed loss view (B, H/2, 2W, n) instead of the fine grid (see
+    ``layers.OutputBlock(emit_loss_view=True)``).  Mirrors each variant's
+    ``packed`` head wiring; the loss consumer pairs it with
+    ``ops.losses.packed_loss_view_labels``."""
+    if cfg.type == "pre":
+        return _tail_packed(cfg)
+    if cfg.dmg_model == "fused":
+        return False
+    if cfg.dmg_model == "fusedEnc":
+        return not cfg.dec_interp
+    return _tail_packed(cfg)
+
 class UNetTemplate(nn.Module):
     """Shared encoder + optional PPM/ASPP bottleneck + decoder
     (reference ``unet.py:113-172``).  Returns ``(dec5, dec4, dec3)``, or
@@ -153,6 +168,7 @@ class OutputTemplate(nn.Module):
         self.output_block = OutputBlock(self.n_class, interpolate=self.interpolate,
                                         packed_in=self.packed and not self.interpolate,
                                         packed_groups=self.packed_groups,
+                                        emit_loss_view=self.packed and not self.interpolate,
                                         dtype=self.dtype)
 
     def __call__(self, dec5, dec4, dec3, train: bool = False):

@@ -218,17 +218,36 @@ def make_loss_fn(loss_str: str, task_type: str) -> Callable[[Array, Array], Arra
     return loss_fn
 
 
+def packed_loss_view_labels(labels: Array) -> Array:
+    """(B, H, W) fine labels -> (B, H/2, 2W) matching the packed loss view.
+
+    The s2d-packed output head emits train-mode logits as ``(B, H/2, 2W, n)``
+    with fine pixel ``(2i+di, 2j+dj)`` at ``[i, j*4 + di*2 + dj]`` (see
+    ``models/layers.OutputBlock``).  This produces the label tensor under the
+    same pixel permutation, so every per-pixel/global loss term is unchanged.
+    """
+    b, h, w = labels.shape
+    y = labels.reshape(b, h // 2, 2, w // 2, 2)
+    y = y.transpose(0, 1, 3, 2, 4)  # [b, i, j, di, dj]
+    return y.reshape(b, h // 2, 2 * w)
+
+
 def deep_supervision_loss(
     loss_fn: Callable[[Array, Array], Array],
     outputs: Sequence[Array],
     labels: Array,
+    main_labels: Optional[Array] = None,
 ) -> Array:
     """Weighted deep-supervision objective (reference ``model/plt.py:69-77``).
 
     ``loss(out) + sum_i 0.5^(i+1) * loss(ds_i, nearest-downsampled labels)``,
     normalized by ``1/(2 - 2^-len(outputs))``.
+
+    ``main_labels``: labels for ``outputs[0]`` when it uses a different pixel
+    arrangement than the fine-grid ``labels`` (the packed loss view); the DS
+    heads always consume downsamplings of the fine ``labels``.
     """
-    total = loss_fn(outputs[0], labels)
+    total = loss_fn(outputs[0], labels if main_labels is None else main_labels)
     h0, w0 = labels.shape[1], labels.shape[2]
     for i, out in enumerate(outputs[1:]):
         h, w = out.shape[1], out.shape[2]

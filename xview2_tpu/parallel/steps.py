@@ -21,9 +21,11 @@ import jax.numpy as jnp
 import optax
 
 from xview2_tpu.config import Config
+from xview2_tpu.models.unet import emits_packed_loss_view
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
-from xview2_tpu.ops.losses import deep_supervision_loss, make_loss_fn
+from xview2_tpu.ops.losses import (deep_supervision_loss, make_loss_fn,
+                                   packed_loss_view_labels)
 from xview2_tpu.ops.metrics import F1State, update_f1_state
 
 Array = jax.Array
@@ -67,8 +69,12 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     """
     loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
     use_aa = cfg.autoaugment
+    # the packed output head emits train logits as a (B, H/2, 2W, n) pixel
+    # permutation (no depth-to-space transpose); pair it with the same
+    # permutation of the labels — every loss term is permutation-invariant
+    packed_view = emits_packed_loss_view(cfg)
 
-    def forward_loss(params, batch_stats, x, y):
+    def forward_loss(params, batch_stats, x, y, y_main):
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, True, mutable=["batch_stats"])
@@ -76,9 +82,10 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         # augmentation gathers' batch-minor layout propagates into ~11.5 ms of
         # lane-starved loss ops (ops/layout.py; -10.6 ms on the headline step)
         if isinstance(outs, list):
-            loss = deep_supervision_loss(loss_fn, [relayout_standard(o) for o in outs], y)
+            loss = deep_supervision_loss(loss_fn, [relayout_standard(o) for o in outs],
+                                         y, main_labels=y_main)
         else:
-            loss = loss_fn(relayout_standard(outs), y)
+            loss = loss_fn(relayout_standard(outs), y_main)
         return loss, mutated["batch_stats"]
 
     if remat:
@@ -90,10 +97,15 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop,
                                 bgr=cfg.bgr)
         x, y = jax.vmap(aug)(keys, images, masks)
-        y = relayout_standard(y)
+        if packed_view:
+            y_main = relayout_standard(packed_loss_view_labels(y))
+            # fine labels are only consumed by the DS-head loss terms
+            y = relayout_standard(y) if cfg.deep_supervision else y_main
+        else:
+            y = y_main = relayout_standard(y)
 
         (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
-            state.params, state.batch_stats, x, y)
+            state.params, state.batch_stats, x, y, y_main)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
