@@ -34,3 +34,12 @@ def test_relayout_noop_off_tpu():
     np.testing.assert_array_equal(out, x)
     g = jax.grad(lambda t: (relayout_standard(t) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x))
+
+
+def test_pallas_identity_large_block_tiles():
+    # eval-size logits: whole-image window would exceed scoped VMEM; the
+    # kernel must tile rows (layout.py _BLOCK_BYTES) and still be an identity
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 512, 512, 4)),
+                    jnp.float32)  # (2,512,2048) merged: 4 MB/row-block cap
+    out = _pallas_identity(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))

@@ -42,19 +42,31 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...]
 
 
+_BLOCK_BYTES = 4 << 20  # VMEM block cap: scoped vmem is 16 MB, double-buffered
+
+
 def _pallas_identity(x: Array, interpret: bool = False) -> Array:
     orig_shape = x.shape
     if x.ndim > 3:
         x = x.reshape(x.shape[0], x.shape[1], -1)
-    elif x.ndim < 2:
+    elif x.ndim == 1:
         x = x.reshape(1, -1)
-    blk = (1,) + x.shape[1:]
+    if x.ndim == 2:
+        x = x.reshape(x.shape[0], 1, x.shape[1])
+    b, h, w = x.shape
+    # largest row-tile whose in+out double-buffered windows fit scoped VMEM
+    # (a (1, 1024, 4096) f32 eval-logits block is 16 MB and OOMs otherwise)
+    bh = 1
+    for d in range(h, 0, -1):
+        if h % d == 0 and d * w * x.dtype.itemsize <= _BLOCK_BYTES:
+            bh = d
+            break
     out = pl.pallas_call(
         _copy_kernel,
-        grid=(x.shape[0],),
-        in_specs=[pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1))],
-        out_specs=pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, h // bh),
+        in_specs=[pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), x.dtype),
         interpret=interpret,
     )(x)
     return out.reshape(orig_shape)
