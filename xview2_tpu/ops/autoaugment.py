@@ -252,8 +252,11 @@ def _equalize_channel(ch: Array) -> Array:
     forms are plain (N, 256) reductions/matmuls.
     """
     v = jnp.round(ch).astype(jnp.int32)
-    onehot = jax.nn.one_hot(v.reshape(-1), 256, dtype=jnp.float32)  # (N, 256)
-    hist = jnp.sum(onehot, axis=0).astype(jnp.int32)
+    # bf16 one-hot halves the (N, 256) traffic and stays exact: entries are
+    # 0/1, the histogram accumulates in f32 (exact to 2^24), and the LUT
+    # contraction selects a single integer <= 255 (exact in bf16)
+    onehot = jax.nn.one_hot(v.reshape(-1), 256, dtype=jnp.bfloat16)  # (N, 256)
+    hist = jnp.sum(onehot, axis=0, dtype=jnp.float32).astype(jnp.int32)
     # PIL: step = (pixels - last nonzero bin count) // 255
     nonzero = hist > 0
     last_nz = 255 - jnp.argmax(nonzero[::-1])
@@ -262,8 +265,9 @@ def _equalize_channel(ch: Array) -> Array:
     csum = jnp.cumsum(hist)
     shifted = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
     lut = (shifted + step // 2) // jnp.maximum(step, 1)
-    lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
-    mapped = (onehot @ lut).reshape(ch.shape)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.bfloat16)
+    mapped = jnp.matmul(onehot, lut,
+                        preferred_element_type=jnp.float32).reshape(ch.shape)
     return jnp.where(step > 0, mapped, ch)
 
 
@@ -276,50 +280,91 @@ def _op_equalize(img: Array, _mag: Array) -> Array:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
+    """Horizontal per-row fractional shift: out[i, x] = packed[i, x + shift[i]].
+
+    ONE gather of H contiguous (W+1)-pixel slices from a zero-padded copy —
+    6.5x faster than per-pixel gathers on TPU (the gather engine is
+    per-element-rate-bound; row slices stream).  ``bilinear_sel`` lerps the
+    two taps for the image channels (shears); otherwise the nearest tap is
+    taken (``floor(s+0.5)``, PIL's half-up — the old per-pixel path used
+    ``jnp.round``'s half-even, which alternated per pixel parity at exact .5
+    fractions).  The mask channel (last) always takes the nearest tap; out of
+    ``[0, w-1]`` source range is zero-filled.
+    """
+    h, w, c = packed.shape
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: dynamic lane roll in VMEM — the XLA slice-gather
+        # below lowers to a serialized while loop (~10 ms per pass for a
+        # batch of 8 512^2 tiles); the kernel runs at copy speed.
+        from xview2_tpu.ops.rowshift import row_shift_pallas
+        pad = w // 2
+        x = jnp.swapaxes(packed, 1, 2)  # (H, C, W): W on lanes
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+        out = row_shift_pallas(x, shift,
+                               bilinear_sel.astype(jnp.int32)[None], w, pad)
+        return jnp.swapaxes(out, 1, 2)
+
+    k = jnp.floor(shift)
+    f = (shift - k)[:, None, None]
+    pad = jnp.pad(packed, ((0, 0), (w, w), (0, 0)))
+    start = (w + k).astype(jnp.int32)
+    idx = jnp.stack([jnp.arange(h, dtype=jnp.int32), start], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1))
+    rows = jax.lax.gather(pad, idx, dn, slice_sizes=(1, w + 1, c),
+                          mode=jax.lax.GatherScatterMode.CLIP)  # (H, W+1, C)
+    lo, hi = rows[:, :w], rows[:, 1:]
+    soft = lo * (1.0 - f) + hi * f
+    near = jnp.where(f >= 0.5, hi, lo)
+    out = jnp.where(bilinear_sel, soft, near)
+    out = jnp.concatenate([out[..., :-1], near[..., -1:]], axis=-1)
+    src = jnp.arange(w, dtype=jnp.float32)[None, :] + shift[:, None]
+    inb = (src >= 0) & (src <= w - 1)
+    return jnp.where(inb[..., None], out, 0.0)
+
+
 def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
                  ) -> Tuple[Array, Array]:
-    """Spatial op on (img ++ mask) packed into ONE gather pass.
+    """Spatial op on (img ++ mask) packed into one gather pass.
 
-    2-D gathers are the dominant TPU cost of this pipeline (~40 ns/element);
-    packing all image channels (both pair halves) and the mask into one
-    row-gather amortizes it.  Shears sample the image bilinearly (PIL used
-    BICUBIC there) with the mask taken from the nearest of the 4 gathered
-    corners — no extra gather; rotate/translate are NEAREST as in PIL.
+    Shears and translations are axis-aligned shifts with a per-row /
+    per-column offset: they run as row-granular slice gathers
+    (``_row_shift_pass``; the vertical variant transposes around it).  Only
+    ROTATE is a true 2-D resample and keeps the per-pixel gather — and since
+    PIL samples rotation NEAREST, that is a single gather.  Shears sample the
+    image bilinearly (PIL used BICUBIC there); the mask always samples
+    nearest so labels stay hard.  Under ``vmap`` every branch executes for
+    every sample (lax.cond becomes select), so branch cost — not branch
+    count — is what matters.
     """
     h, w = mask.shape
-    mat = _spatial_matrix(op, mag, h, w)
-    sx, sy, inb = _affine_coords(h, w, mat)
     packed = jnp.concatenate([img, mask.astype(img.dtype)[..., None]], axis=-1)
 
-    def nearest(_):
-        xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
-        yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
-        out = _flat_gather(packed, xi, yi)
-        return jnp.where(inb[..., None], out, 0.0)
+    # horizontal family: shear_x (src_x = x + m*y, bilinear) and trans_x
+    # (src_x = x + m*w, nearest)
+    shift_x = jnp.where(op == SHEAR_X,
+                        mag * jnp.arange(h, dtype=jnp.float32),
+                        jnp.full((h,), mag * w, jnp.float32))
+    out_x = _row_shift_pass(packed, shift_x, op == SHEAR_X)
 
-    def bilinear(_):
-        x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
-        y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
-        x1 = jnp.clip(x0 + 1, 0, w - 1)
-        y1 = jnp.clip(y0 + 1, 0, h - 1)
-        fx = jnp.clip(sx - x0, 0.0, 1.0)[..., None]
-        fy = jnp.clip(sy - y0, 0.0, 1.0)[..., None]
-        x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
-        p00 = _flat_gather(packed, x0, y0)
-        p01 = _flat_gather(packed, x1, y0)
-        p10 = _flat_gather(packed, x0, y1)
-        p11 = _flat_gather(packed, x1, y1)
-        soft = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-                + p10 * (1 - fx) * fy + p11 * fx * fy)
-        # mask channel: nearest corner of the same 4 gathers (labels stay hard)
-        near_x = fx >= 0.5
-        near_y = fy >= 0.5
-        hard = jnp.where(near_y, jnp.where(near_x, p11, p10),
-                         jnp.where(near_x, p01, p00))
-        out = jnp.concatenate([soft[..., :-1], hard[..., -1:]], axis=-1)
-        return jnp.where(inb[..., None], out, 0.0)
+    # vertical family: shear_y (src_y = y + m*x) and trans_y (src_y = y + m*h)
+    shift_y = jnp.where(op == SHEAR_Y,
+                        mag * jnp.arange(w, dtype=jnp.float32),
+                        jnp.full((w,), mag * h, jnp.float32))
+    out_y = jnp.swapaxes(
+        _row_shift_pass(jnp.swapaxes(packed, 0, 1), shift_y, op == SHEAR_Y), 0, 1)
 
-    out = jax.lax.cond(op <= SHEAR_Y, bilinear, nearest, None)
+    # rotate: per-pixel nearest (exact PIL semantics incl. jnp.round ties)
+    mat = _spatial_matrix(op, mag, h, w)
+    sx, sy, inb = _affine_coords(h, w, mat)
+    xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
+    out_rot = jnp.where(inb[..., None], _flat_gather(packed, xi, yi), 0.0)
+
+    is_x = (op == SHEAR_X) | (op == TRANS_X)
+    is_y = (op == SHEAR_Y) | (op == TRANS_Y)
+    out = jnp.where(is_x, out_x, jnp.where(is_y, out_y, out_rot))
     new_mask = out[..., -1].astype(mask.dtype)
     return out[..., :-1], new_mask
 
