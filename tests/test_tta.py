@@ -1,40 +1,36 @@
-"""TTA flip-averaging semantics (reference plt.py:30, 42-48)."""
+"""Stacked-batch TTA equals the reference's four sequential flip passes
+(reference plt.py:42-48)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xview2_tpu.parallel.steps import tta_forward
+from xview2_tpu.config import Config
+from xview2_tpu.models.unet import build_model
+from xview2_tpu.parallel.steps import init_train_state, tta_forward
+from xview2_tpu.train.optimizers import build_optimizer
 
 
-class _ToyModel:
-    """Deliberately flip-asymmetric 'model' closed over fixed weights."""
+def test_stacked_tta_matches_sequential():
+    cfg = Config(type="pre", encoder="resnet50", precision=32, tta=True)
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    state = init_train_state(cfg, model, tx, jax.random.PRNGKey(0), (64, 64, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
 
-    def apply(self, variables, x, train):
-        w = variables["params"]["w"]
-        # spatially-varying linear map -> not flip-equivariant
-        h = x.shape[1]
-        ramp = jnp.arange(h, dtype=x.dtype).reshape(1, h, 1, 1)
-        return x * w + 0.01 * ramp * x
+    got = tta_forward(model, variables, x, True)
 
-
-def test_tta_is_mean_of_four_flip_passes():
-    model = _ToyModel()
-    variables = {"params": {"w": jnp.float32(2.0)}}
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)), jnp.float32)
-
-    got = tta_forward(model, variables, x, use_tta=True)
-    preds = [model.apply(variables, x, False)]
+    ref = model.apply(variables, x, False)
     for axes in ((1,), (2,), (1, 2)):
-        preds.append(jnp.flip(model.apply(variables, jnp.flip(x, axes), False), axes))
-    want = sum(preds) / 4.0
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+        ref = ref + jnp.flip(model.apply(variables, jnp.flip(x, axis=axes), False),
+                             axis=axes)
+    ref = ref / 4.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
-
-def test_tta_disabled_is_plain_forward():
-    model = _ToyModel()
-    variables = {"params": {"w": jnp.float32(2.0)}}
-    x = jnp.ones((1, 4, 4, 3), jnp.float32)
-    got = tta_forward(model, variables, x, use_tta=False)
-    want = model.apply(variables, x, False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    # tta=False: single plain forward
+    np.testing.assert_allclose(np.asarray(tta_forward(model, variables, x, False)),
+                               np.asarray(model.apply(variables, x, False)),
+                               rtol=0, atol=0)
