@@ -117,3 +117,34 @@ def test_unview_inverts_loss_view():
     view = x.reshape(b, h, 4 * w, pn // 4)
     np.testing.assert_array_equal(np.asarray(unview_loss_logits(view)),
                                   np.asarray(depth_to_space(x)))
+
+
+def test_packed_group_conv_matches_fine():
+    """FusedUNet's cross-fusion conv over two packed branches == the fine
+    ConvLayer over the concat of their depth-to-space maps (same params)."""
+    from xview2_tpu.models.layers import ConvLayer, PackedGroupConvLayer
+
+    rng = np.random.default_rng(11)
+    f = 8
+    p = jnp.asarray(rng.normal(size=(2, 4, 4, 4 * f)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(2, 4, 4, 4 * f)), jnp.float32)
+    fmap_packed = jnp.concatenate([p, q], axis=-1)          # group-major packed
+    fmap_fine = jnp.concatenate([depth_to_space(p), depth_to_space(q)], axis=-1)
+
+    packed = PackedGroupConvLayer(f, 2)
+    fine = ConvLayer(f)
+    variables = packed.init(jax.random.PRNGKey(0), fmap_packed, True)
+    vf = fine.init(jax.random.PRNGKey(0), fmap_fine, True)
+    assert ({jax.tree_util.keystr(k): l.shape
+             for k, l in jax.tree_util.tree_leaves_with_path(variables)}
+            == {jax.tree_util.keystr(k): l.shape
+                for k, l in jax.tree_util.tree_leaves_with_path(vf)})
+
+    op, mp = packed.apply(variables, fmap_packed, True, mutable=["batch_stats"])
+    of, mf = fine.apply(variables, fmap_fine, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(depth_to_space(op)), np.asarray(of),
+                               rtol=1e-5, atol=1e-5)
+    for pf_, pp_ in zip(jax.tree_util.tree_leaves(mf["batch_stats"]),
+                        jax.tree_util.tree_leaves(mp["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(pp_), np.asarray(pf_),
+                                   rtol=1e-5, atol=1e-6)

@@ -307,6 +307,7 @@ class FusionBlock(nn.Module):
     post_layer: Any
     features: int
     decoder_mode: bool = False
+    packed_last: bool = False  # sub-layers emit s2d-packed maps (last decoder stage)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -319,6 +320,14 @@ class FusionBlock(nn.Module):
             pre = self.pre_layer(pre, train)
             post = self.post_layer(post, train)
         fmap = jnp.concatenate([pre, post], axis=-1)
+        if self.packed_last and last_dec:
+            # pre/post are packed (B,H,W,4f): cross-fuse in the packed domain
+            # (same params; kernel row-permuted to the group-major layout)
+            new_pre = PackedGroupConvLayer(self.features, 2, dtype=self.dtype,
+                                           name="conv_pre")(fmap, train)
+            new_post = PackedGroupConvLayer(self.features, 2, dtype=self.dtype,
+                                            name="conv_post")(fmap, train)
+            return new_pre, new_post
         new_pre = ConvLayer(self.features, dtype=self.dtype, name="conv_pre")(fmap, train)
         new_post = ConvLayer(self.features, dtype=self.dtype, name="conv_post")(fmap, train)
         return new_pre, new_post
@@ -471,6 +480,38 @@ class PackedConvLayer(nn.Module):
         wp = s2d_conv_kernel(w).astype(self.dtype)
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
+        return leaky_relu(x)
+
+
+class PackedGroupConvLayer(nn.Module):
+    """ConvLayer over the concat of ``groups`` s2d-packed branches.
+
+    Input layout is group-major packed: channels ``[g*4*cg + p*cg + c]`` for
+    group g, phase p, fine channel c (the concat of ``groups`` packed
+    tensors).  The fine 3x3 kernel (3,3,groups*cg,features) is embedded with
+    ``s2d_conv_kernel`` — whose rows are phase-major over the full fine input
+    ``[p, g, c]`` — and then row-permuted to the group-major layout.  Output
+    is single-group packed (B,H,W,4*features).  Param tree matches
+    ``ConvLayer`` (``Conv_0``/``BatchNorm_0``).
+    """
+
+    features: int
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        g = self.groups
+        cg = x.shape[-1] // (4 * g)  # fine channels per group
+        w = _ConvKernel((3, 3, g * cg, self.features), name="Conv_0")()
+        wp = s2d_conv_kernel(w)  # rows [p, g, c]
+        wp = wp.reshape(3, 3, 4, g, cg, 4 * self.features)
+        wp = wp.transpose(0, 1, 3, 2, 4, 5).reshape(3, 3, 4 * g * cg,
+                                                    4 * self.features)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wp.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
         return leaky_relu(x)

@@ -102,9 +102,7 @@ def emits_packed_loss_view(cfg: Config) -> bool:
     ``ops.losses.packed_loss_view_labels``."""
     if cfg.type == "pre":
         return _tail_packed(cfg)
-    if cfg.dmg_model == "fused":
-        return False
-    if cfg.dmg_model == "fusedEnc":
+    if cfg.dmg_model in ("fused", "fusedEnc"):
         return not cfg.dec_interp
     return _tail_packed(cfg)
 
@@ -295,17 +293,23 @@ class FusedUNet(nn.Module):
                         features=chans[i], dtype=dtype)
             for i in range(5)
         ]
+        packed = not cfg.dec_interp
         pre_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp,
-                                      dtype, packed_tail=False)
+                                      dtype, packed_tail=packed)
         post_dec = make_decoder_stages(chans, 1, cfg.attention, False, cfg.dec_interp,
-                                       dtype, packed_tail=False)
+                                       dtype, packed_tail=packed)
         decf = DECODER_CHANNELS
         self.dec_fusion = [
             FusionBlock(pre_layer=pre_dec[i], post_layer=post_dec[i],
-                        features=decf[i], decoder_mode=True, dtype=dtype)
+                        features=decf[i], decoder_mode=True,
+                        packed_last=packed and i == 4, dtype=dtype)
             for i in range(5)
         ]
-        self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision, dtype=dtype)
+        # the cross-fused last stage emits two packed branches; the head
+        # consumes their concat exactly like siamese (packed_groups=2)
+        self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision,
+                                           packed=packed, packed_groups=2,
+                                           dtype=dtype)
 
     def __call__(self, data: Array, train: bool = False):
         pre, post = _split_pair(data)
