@@ -136,3 +136,32 @@ def test_train_step_gradients_flow():
     flat = jax.tree.leaves(grads)
     assert all(jnp.all(jnp.isfinite(g)) for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+@pytest.mark.parametrize("variant", ["pre", "siamese", "siameseEnc", "fused",
+                                     "fusedEnc", "parallel", "parallelEnc",
+                                     "diff", "cat"])
+@pytest.mark.parametrize("dec_interp", [False, True])
+def test_emits_packed_loss_view_matches_model(variant, dec_interp):
+    """The steps.py predicate must agree with what the model actually emits
+    in train mode (packed loss view (B,H/2,2W,n) vs fine (B,H,W,n))."""
+    from xview2_tpu.models.unet import emits_packed_loss_view
+
+    if variant == "pre":
+        cfg = Config(type="pre", encoder="resnet50", precision=32,
+                     dec_interp=dec_interp)
+        nch = 3
+    else:
+        cfg = Config(type="post", dmg_model=variant, encoder="resnet50",
+                     precision=32, dec_interp=dec_interp)
+        nch = 6
+    m = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, nch))
+    out_shape = jax.eval_shape(
+        lambda xx: m.init_with_output(KEY, xx, True)[0], x)
+    if isinstance(out_shape, list):
+        out_shape = out_shape[0]
+    packed = out_shape.shape[1] == 32  # H/2 => loss view
+    fine = out_shape.shape[1] == 64
+    assert packed or fine
+    assert emits_packed_loss_view(cfg) == packed
