@@ -141,19 +141,18 @@ def test_train_step_gradients_flow():
 @pytest.mark.parametrize("variant", ["pre", "siamese", "siameseEnc", "fused",
                                      "fusedEnc", "parallel", "parallelEnc",
                                      "diff", "cat"])
-@pytest.mark.parametrize("dec_interp", [False, True])
-def test_emits_packed_loss_view_matches_model(variant, dec_interp):
+@pytest.mark.parametrize("flag", [{}, {"dec_interp": True}, {"interpolate": True}])
+def test_emits_packed_loss_view_matches_model(variant, flag):
     """The steps.py predicate must agree with what the model actually emits
-    in train mode (packed loss view (B,H/2,2W,n) vs fine (B,H,W,n))."""
+    in train mode (packed loss view (B,H/2,2W,n) vs fine)."""
     from xview2_tpu.models.unet import emits_packed_loss_view
 
     if variant == "pre":
-        cfg = Config(type="pre", encoder="resnet50", precision=32,
-                     dec_interp=dec_interp)
+        cfg = Config(type="pre", encoder="resnet50", precision=32, **flag)
         nch = 3
     else:
         cfg = Config(type="post", dmg_model=variant, encoder="resnet50",
-                     precision=32, dec_interp=dec_interp)
+                     precision=32, **flag)
         nch = 6
     m = build_model(cfg)
     x = jnp.zeros((1, 64, 64, nch))
@@ -161,7 +160,9 @@ def test_emits_packed_loss_view_matches_model(variant, dec_interp):
         lambda xx: m.init_with_output(KEY, xx, True)[0], x)
     if isinstance(out_shape, list):
         out_shape = out_shape[0]
-    packed = out_shape.shape[1] == 32  # H/2 => loss view
-    fine = out_shape.shape[1] == 64
-    assert packed or fine
+    packed = out_shape.shape == (1, 32, 128, out_shape.shape[-1])  # loss view
+    # everything else must be a fine grid the fine-label loss can consume:
+    # (B,64,64,n), or the --interpolate head's fixed (B,512,512,n)
+    fine = out_shape.shape[1] == out_shape.shape[2] and out_shape.shape[1] in (64, 512)
+    assert packed or fine, out_shape.shape
     assert emits_packed_loss_view(cfg) == packed

@@ -174,3 +174,19 @@ def test_explicit_index_csv_must_exist(tmp_path):
     cfg = Config(index_csv=str(tmp_path / "missing.csv"))
     with pytest.raises(FileNotFoundError):
         ensure_index(cfg)
+
+
+def test_empty_index_not_written(tmp_path, synth_root):
+    """A failed index generation must NOT leave an empty index.csv behind —
+    a later run would silently reuse it (0 train samples)."""
+    from xview2_tpu.data.index import generate_index
+
+    train_dir = os.path.join(synth_root, "train")
+    exclude = tmp_path / "exclude.txt"
+    import glob as _glob
+    n = len(_glob.glob(os.path.join(train_dir, "images", "*pre*")))
+    exclude.write_text(str(list(range(n))))  # exclude everything
+    out = tmp_path / "index.csv"
+    with pytest.raises(RuntimeError, match="train index is empty"):
+        generate_index(train_dir, str(out), exclude_path=str(exclude))
+    assert not out.exists()

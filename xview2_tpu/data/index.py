@@ -75,6 +75,12 @@ def generate_index(data_dir: str, out_csv: str,
         for i in range(len(imgs_pre)))
     rows = [r for r in rows if r is not None]
     df = pd.DataFrame(rows, columns=["idx", "1", "2", "3", "4"])
+    if len(df) == 0:
+        # do NOT write an empty index: a later run would silently reuse it
+        # (0 train samples, 0 steps/epoch) via the exists() early-out
+        raise RuntimeError(
+            f"train index is empty: every tile under {data_dir} was excluded "
+            "or failed the foreground-size filter")
     os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
     df.to_csv(out_csv, index=False)
     return df
@@ -100,13 +106,9 @@ def ensure_index(cfg) -> str:
         train_dir = os.path.join(cfg.data, "train")
         exclude = os.path.join(train_dir, "exclude.txt")
         print(f"generating train index {out_csv} (no --index_csv given)", flush=True)
-        df = generate_index(train_dir, out_csv,
-                            exclude_path=exclude if os.path.exists(exclude) else None,
-                            min_size=None)
-        if len(df) == 0:
-            raise RuntimeError(
-                f"train index is empty: every tile under {train_dir} was excluded "
-                "or failed the foreground-size filter")
+        generate_index(train_dir, out_csv,
+                       exclude_path=exclude if os.path.exists(exclude) else None,
+                       min_size=None)
     return out_csv
 
 

@@ -242,8 +242,12 @@ class SiameseEncUNet(nn.Module):
         elif cfg.aspp:
             self.aspp = ASPP(dilation=cfg.dilation, dtype=dtype)
         doubled = [2 * c for c in chans]
+        # packed_tail must track the head's packed flag: under --interpolate
+        # (ignored by this variant's decoder otherwise) the fine head applies,
+        # so the tail must stay fine-grid too
         self.dec_layers = make_decoder_stages(
-            doubled, cfg.dilation, cfg.attention, cfg.no_skip, cfg.dec_interp, dtype)
+            doubled, cfg.dilation, cfg.attention, cfg.no_skip, cfg.dec_interp, dtype,
+            packed_tail=_tail_packed(cfg))
         # n_class already reflects the loss head rule (Config.n_class: mse -> 1,
         # coral -> 3); get_dmg_unet passes it in — no duplicated derivation here.
         self.output_block = OutputTemplate(self.n_class, cfg.deep_supervision,
