@@ -81,9 +81,12 @@ def test_generate_index_filters_and_flags(tmp_path):
     exclude = tmp_path / "exclude.txt"
     exclude.write_text("[3]")
     out_csv = str(tmp_path / "index.csv")
-    df = generate_index(root, out_csv, str(exclude), n_jobs=1)
-    # min_size default 512 would drop everything at size 64; re-run with the
-    # filter sized for the test
+    # min_size default 512 drops everything at size 64 — generate_index must
+    # refuse to write an empty index (poisoning guard) — then apply the
+    # filter sized for the test via build_row directly
+    with pytest.raises(RuntimeError, match="train index is empty"):
+        generate_index(root, out_csv, str(exclude), n_jobs=1)
+    assert not os.path.exists(out_csv)
     from xview2_tpu.data.index import build_row
     import glob
     imgs_pre = sorted(glob.glob(os.path.join(root, "images", "*pre*")))
