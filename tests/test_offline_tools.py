@@ -97,3 +97,78 @@ def test_generate_index_filters_and_flags(tmp_path):
     kept = [r for r in rows if r is not None]
     assert [r["idx"] for r in kept] == [0, 2]  # 1 dropped (small fg), 3 excluded
     assert all(r["2"] == 1 and r["1"] == 0 for r in kept)  # damage-2 flag set
+
+
+def test_bundled_exclude_list_gating():
+    """The bundled reference exclude list (utils/exclude.txt values,
+    generate_idx.py:15) applies only on xBD-shaped trees."""
+    from xview2_tpu.data.exclude_list import EXCLUDE_IDX, default_excluded
+
+    assert len(EXCLUDE_IDX) == 361 and len(set(EXCLUDE_IDX)) == 361
+    assert min(EXCLUDE_IDX) == 2 and max(EXCLUDE_IDX) == 9134
+    # xBD train split: 9,168 pre/post pairs -> full list applies
+    assert default_excluded(9168) == frozenset(EXCLUDE_IDX)
+    # synthetic/subset trees: no silent exclusions
+    assert default_excluded(100) == frozenset()
+    assert default_excluded(9134) == frozenset()
+
+
+def test_generate_index_uses_bundled_excludes_by_default(tmp_path, monkeypatch):
+    """With no exclude file, generate_index falls back to the bundled list
+    (here monkeypatched so a 4-tile tree counts as xBD-shaped)."""
+    import xview2_tpu.data.index as index_mod
+
+    root = str(tmp_path / "train")
+    _make_train_tree(root, 4, size=64)
+    monkeypatch.setattr(index_mod, "default_excluded",
+                        lambda n: frozenset({1, 3}) if n == 4 else frozenset())
+    df = index_mod.generate_index(root, str(tmp_path / "index.csv"),
+                                  exclude_path=None, n_jobs=1, min_size=32)
+    assert list(df["idx"]) == [0, 2]
+    # an explicit (empty) exclude file overrides the bundled list
+    exclude = tmp_path / "exclude.txt"
+    exclude.write_text("[]")
+    df = index_mod.generate_index(root, str(tmp_path / "index2.csv"),
+                                  exclude_path=str(exclude), n_jobs=1, min_size=32)
+    assert list(df["idx"]) == [0, 1, 2, 3]
+
+
+def test_generate_index_atomic_publish(tmp_path):
+    """The index appears via atomic rename: no temp leftovers, complete file."""
+    root = str(tmp_path / "train")
+    _make_train_tree(root, 2, size=64)
+    out_csv = tmp_path / "res" / "index.csv"
+    generate_index(root, str(out_csv), n_jobs=1, min_size=32)
+    assert out_csv.exists()
+    leftovers = [p for p in os.listdir(out_csv.parent) if p != "index.csv"]
+    assert leftovers == []
+
+
+def test_ensure_index_explicit_exclude_flag(tmp_path):
+    """--exclude overrides both the tree file and the bundled list."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.data.index import ensure_index
+    import pandas as pd
+
+    root = tmp_path / "data"
+    _make_train_tree(str(root / "train"), 3, size=64)
+    # a tree-level exclude.txt that would drop idx 2 ...
+    (root / "train" / "exclude.txt").write_text("[2]")
+    # ... overridden by an explicit --exclude dropping idx 0
+    explicit = tmp_path / "my_exclude.json"
+    explicit.write_text("[0]")
+    results = tmp_path / "results"
+    cfg = Config(data=str(root), results=str(results), exclude=str(explicit))
+    import xview2_tpu.data.index as index_mod
+    orig = index_mod.generate_index
+    index_mod.generate_index = lambda d, o, exclude_path=None, **kw: orig(
+        d, o, exclude_path=exclude_path, min_size=32)
+    try:
+        path = ensure_index(cfg)
+    finally:
+        index_mod.generate_index = orig
+    assert list(pd.read_csv(path)["idx"]) == [1, 2]
+
+    with pytest.raises(FileNotFoundError, match="--exclude"):
+        ensure_index(Config(data=str(root), results=str(tmp_path / "r2"),
+                            exclude=str(tmp_path / "missing.json")))

@@ -79,6 +79,7 @@ class Config:
     # --- TPU-native extensions (not present in the reference) ---
     profile: bool = False  # capture a jax.profiler trace for the first steps
     index_csv: Optional[str] = None  # train index.csv; None -> auto-generated under --results on first train
+    exclude: Optional[str] = None  # JSON list of excluded train indices; None -> bundled reference list on xBD-shaped trees
     train_crop: int = 512  # train crop size (reference pytorch_loader.py:57)
     spatial_shards: int = 1  # shard image height over a 2nd mesh axis (GSPMD halo exchange)
     pretrained_enc: Optional[str] = None  # .npz from tools/convert_weights.py (reference bakes pretrained=True, unet.py:45)
@@ -209,6 +210,9 @@ def build_parser() -> ArgumentParser:
     arg("--profile", action="store_true", help="Capture a jax.profiler trace of the first training steps")
     arg("--index_csv", type=str, default=None,
         help="Path to train index.csv; if absent it is generated once under --results (data/index.py)")
+    arg("--exclude", type=str, default=None,
+        help="JSON list of train indices to exclude from index generation; "
+             "default: the reference exclude list on xBD-shaped trees (utils/exclude.txt)")
     arg("--train_crop", type=int, default=512, help="Training crop size")
     arg("--spatial_shards", type=int, default=1,
         help="Shard image height over a second mesh axis (conv halo exchange via GSPMD)")

@@ -12,6 +12,8 @@ from __future__ import annotations
 import glob
 import json
 import os
+import tempfile
+import time
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 from typing import List, Optional
 
@@ -19,6 +21,8 @@ import numpy as np
 import pandas as pd
 from joblib import Parallel, delayed
 from PIL import Image
+
+from xview2_tpu.data.exclude_list import default_excluded
 
 
 def _foreground_box(img_pre: np.ndarray, img_post: np.ndarray):
@@ -65,10 +69,14 @@ def generate_index(data_dir: str, out_csv: str,
     lbls_post = sorted(glob.glob(os.path.join(data_dir, "targets", "*post*")))
     assert len(imgs_pre) == len(imgs_post) == len(lbls_post) and imgs_pre, \
         f"unpaired data under {data_dir}"
-    excluded = set()
     if exclude_path and os.path.exists(exclude_path):
         with open(exclude_path) as f:
             excluded = set(json.load(f))
+    else:
+        # the reference unconditionally drops its bundled exclude indices
+        # (generate_idx.py:15); default_excluded applies them only when the
+        # tree is xBD-shaped so synthetic/subset trees are unaffected
+        excluded = set(default_excluded(len(imgs_pre)))
     rows = Parallel(n_jobs=n_jobs)(
         delayed(build_row)(i, imgs_pre[i], imgs_post[i], lbls_post[i], excluded,
                            min_size)
@@ -81,9 +89,30 @@ def generate_index(data_dir: str, out_csv: str,
         raise RuntimeError(
             f"train index is empty: every tile under {data_dir} was excluded "
             "or failed the foreground-size filter")
-    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
-    df.to_csv(out_csv, index=False)
+    out_dir = os.path.dirname(os.path.abspath(out_csv))
+    os.makedirs(out_dir, exist_ok=True)
+    # atomic publish: concurrent writers (multi-host training into a shared
+    # --results) each complete a private temp file and os.replace it — readers
+    # never observe a partially written index
+    fd, tmp = tempfile.mkstemp(prefix=".index.", suffix=".csv", dir=out_dir)
+    try:
+        with os.fdopen(fd, "w") as f:
+            df.to_csv(f, index=False)
+        os.replace(tmp, out_csv)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return df
+
+
+def _wait_for_file(path: str, timeout_s: float = 600.0) -> None:
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(path):
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"timed out waiting for host 0 to publish {path}")
+        time.sleep(0.5)
 
 
 def ensure_index(cfg) -> str:
@@ -91,11 +120,17 @@ def ensure_index(cfg) -> str:
 
     The reference *always* restricts training through ``utils/index.csv``
     (hardcoded read, ``pytorch_loader.py:64, 101-107``); it ships the file
-    precomputed.  We cannot bundle a data artifact, so on first train with no
-    ``--index_csv`` we build it once under ``--results`` with the same
-    foreground-bbox filter (threshold scaled to tile size: exact 512 px on
-    1024^2 tiles) and class-presence flags, honoring an exclude list at
-    ``{data}/train/exclude.txt`` when present (``generate_idx.py:15``).
+    precomputed.  On first train with no ``--index_csv`` we build it once
+    under ``--results`` with the same foreground-bbox filter (threshold scaled
+    to tile size: exact 512 px on 1024^2 tiles) and class-presence flags.
+
+    Exclusion precedence (reference ``generate_idx.py:15``): an explicit
+    ``--exclude`` JSON file, else ``{data}/train/exclude.txt`` when present,
+    else the bundled reference list (applied only on xBD-shaped trees,
+    ``data/exclude_list.py``).
+
+    Under multi-host training into a shared ``--results``, only process 0
+    generates (single-writer); other hosts wait for the atomic publish.
     """
     if cfg.index_csv:
         if not os.path.exists(cfg.index_csv):
@@ -103,12 +138,20 @@ def ensure_index(cfg) -> str:
         return cfg.index_csv
     out_csv = os.path.join(cfg.results, "index.csv")
     if not os.path.exists(out_csv):
+        exclude = getattr(cfg, "exclude", None)
+        if exclude and not os.path.exists(exclude):
+            raise FileNotFoundError(f"--exclude {exclude} does not exist")
         train_dir = os.path.join(cfg.data, "train")
-        exclude = os.path.join(train_dir, "exclude.txt")
+        if not exclude:
+            tree_exclude = os.path.join(train_dir, "exclude.txt")
+            exclude = tree_exclude if os.path.exists(tree_exclude) else None
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            _wait_for_file(out_csv)
+            return out_csv
         print(f"generating train index {out_csv} (no --index_csv given)", flush=True)
-        generate_index(train_dir, out_csv,
-                       exclude_path=exclude if os.path.exists(exclude) else None,
-                       min_size=None)
+        generate_index(train_dir, out_csv, exclude_path=exclude, min_size=None)
     return out_csv
 
 
