@@ -145,3 +145,31 @@ def test_profile_trace_stops_on_short_run(synth_root, tmp_path):
     assert traces, "profiler trace was not stopped/written"
     # and a second profiled run must not die with "trace already running"
     trainer.fit(cfg.replace(results=str(tmp_path / "res_profile2")))
+
+
+def test_eval_clears_stale_task_artifacts(trained, synth_root):
+    """Stale dumps from a previous, larger eval must not survive into the
+    sorted-zip pairing of post_process (reference intent, main.py:15-17);
+    dumps of the *other* task must survive (pre+post share --results)."""
+    cfg, best = trained
+    probs_dir = os.path.join(cfg.results, "probs")
+    targets_dir = os.path.join(cfg.results, "targets")
+    # stale current-task file beyond this holdout's 2 tiles + other-task file
+    stale = os.path.join(probs_dir, "test_localization_00009.npy")
+    np.save(stale, np.zeros((4, 4), np.float32))
+    stale_t = os.path.join(targets_dir, "test_localization_00009_target.png")
+    open(stale_t, "wb").write(open(os.path.join(
+        targets_dir, "test_localization_00000_target.png"), "rb").read())
+    other = os.path.join(probs_dir, "test_damage_00000.npy")
+    np.save(other, np.zeros((4, 4), np.float32))
+
+    eval_cfg = Config(type="pre", exec_mode="eval", data=synth_root,
+                      results=cfg.results, ckpt=best, val_batch_size=2,
+                      num_workers=2, gpus=1)
+    trainer.test(eval_cfg)
+    loc_probs = sorted(glob.glob(os.path.join(probs_dir, "*localization*")))
+    assert [os.path.basename(p) for p in loc_probs] == [
+        "test_localization_00000.npy", "test_localization_00001.npy"]
+    assert not os.path.exists(stale_t)
+    assert os.path.exists(other)  # other task untouched
+    os.unlink(other)

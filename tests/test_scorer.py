@@ -154,3 +154,21 @@ def test_full_artifact_chain(tmp_path):
     assert out["damage_f1_minor_damage"] == pytest.approx(1.0)
     assert out["score"] == pytest.approx(
         0.3 + 0.7 * harmonic_mean([0.0, 1.0, 0.0, 0.0]), abs=1e-6)
+
+
+def test_post_process_clears_stale_predictions(tmp_path):
+    """predictions/ is recreated empty: stale files from a previous, larger
+    run must not reach the scorer's sorted-glob pairing."""
+    import glob as _glob
+
+    probs = tmp_path / "probs"
+    probs.mkdir()
+    np.save(probs / "test_localization_00000.npy", np.full((8, 8), 0.9, np.float32))
+    np.save(probs / "test_damage_00000.npy", np.ones((8, 8), np.float32))
+    pred_dir = tmp_path / "predictions"
+    pred_dir.mkdir()
+    (pred_dir / "test_localization_00007_prediction.png").write_bytes(b"stale")
+    post_process_dir(str(tmp_path), n_jobs=1)
+    names = sorted(os.path.basename(p) for p in _glob.glob(str(pred_dir / "*")))
+    assert names == ["test_damage_00000_prediction.png",
+                     "test_localization_00000_prediction.png"]

@@ -23,6 +23,7 @@ class: localization probs = sigmoid of channel 1; damage probs = softmax
 
 from __future__ import annotations
 
+import glob
 import math
 import os
 import time
@@ -284,6 +285,25 @@ def _save_predictions(cfg: Config, logits: np.ndarray, targets: np.ndarray,
     return idx
 
 
+def _clear_task_artifacts(cfg: Config) -> None:
+    """Drop stale eval dumps of the current task before re-dumping.
+
+    The reference intends to empty ``probs/`` and ``targets/`` before eval
+    (``main.py:15-17, 116-121``) but guards ``make_empty_dir`` with
+    ``if not os.path.exists`` — so stale ``.npy``/``.png`` from a previous,
+    larger run survive and silently corrupt ``post_process``'s sorted-zip
+    pairing.  We clear per *task* (not the whole dir): the standard pipeline
+    evals pre then post into the same ``--results``, and a blanket wipe before
+    the post eval would delete the localization dumps it is paired with.
+    """
+    task = "localization" if cfg.type == "pre" else "damage"
+    for sub in ("probs", "targets"):
+        d = os.path.join(cfg.results, sub)
+        os.makedirs(d, exist_ok=True)
+        for p in glob.glob(os.path.join(d, f"test_{task}_*")):
+            os.unlink(p)
+
+
 def test(cfg: Config) -> dict:
     """Eval mode: restore checkpoint, run holdout, dump artifacts + metrics
     (reference main.py:113-122 eval branch)."""
@@ -301,6 +321,7 @@ def test(cfg: Config) -> dict:
     params = jax.device_put(payload["params"], runner.replicated)
     batch_stats = jax.device_put(payload["batch_stats"], runner.replicated)
 
+    _clear_task_artifacts(cfg)
     _, _, test_loader = make_loaders_for(runner)
     eval_step = jax.jit(make_eval_step(cfg, runner.model))
     f1_state = jax.device_put(init_f1_state(cfg.n_metric_class), runner.replicated)

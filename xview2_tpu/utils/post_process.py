@@ -19,6 +19,7 @@ Unlike the reference, the results root is a parameter instead of a hardcoded
 from __future__ import annotations
 
 import os
+import shutil
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 from glob import glob
 from typing import Optional
@@ -70,7 +71,11 @@ def post_process_dir(results: str = "/results", *, components: bool = False,
                      dilate: bool = False, dilation_rate: int = 3,
                      n_jobs: int = -1) -> str:
     out_dir = os.path.join(results, "predictions")
-    os.makedirs(out_dir, exist_ok=True)
+    # start from an empty dir: stale predictions from a previous, larger run
+    # would otherwise survive into the scorer's sorted-glob pairing
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
     loc_paths = sorted(glob(os.path.join(results, "probs", "*localization*")))
     dmg_paths = sorted(glob(os.path.join(results, "probs", "*damage*")))
     Parallel(n_jobs=n_jobs)(
