@@ -99,18 +99,32 @@ def test_translate_matches_pil():
     assert_close_u8(got, want, tol=1)
 
 
-def test_rotate_matches_pil():
-    angle = 20.0
-    mat = _spatial_matrix(jnp.int32(ROTATE), jnp.float32(angle), 32, 32)
-    sx, sy, inb = _affine_coords(32, 32, mat)
-    got = np.asarray(_nearest_gather(jnp.asarray(IMG[..., 0]), sx, sy, inb))
+@pytest.mark.parametrize("angle", [4.0, 20.0, 30.0])
+def test_rotate_matches_pil(angle):
+    """Production rotate path (_rotate_coords) vs the reference's
+    rotate_with_fill (autoaugment.py:65-67, 136-137): PIL center (w/2, h/2),
+    dst-pixel-center sampling, floor truncation, zero fill.  PIL's NEAREST
+    fast path uses incremental 16.16 fixed-point adds whose rounding can
+    cross a floor boundary, so demand >=99.8% exact pixels and require every
+    mismatch to be a one-tap neighbour (see _rotate_coords docstring)."""
+    from xview2_tpu.ops.autoaugment import _flat_gather, _rotate_coords
+
+    xi, yi, inb = _rotate_coords(jnp.float32(angle), 32, 32)
+    got = np.asarray(jnp.where(
+        inb[..., None],
+        _flat_gather(IMG_F, jnp.clip(xi, 0, 31), jnp.clip(yi, 0, 31)),
+        0.0)).astype(np.uint8)
     rot = PIL_IMG.convert("RGBA").rotate(angle)
     want = np.array(Image.composite(rot, Image.new("RGBA", rot.size, 0), rot)
-                    .convert("RGB"))[..., 0]
-    # nearest-vs-nearest with slightly different center conventions: require
-    # high agreement instead of exactness
-    ok = got == want
-    assert ok.mean() > 0.9
+                    .convert("RGB"))
+    mism = (got != want).any(-1)
+    assert mism.mean() <= 0.002, f"{mism.mean():.4f} of pixels differ from PIL"
+    xi, yi = np.asarray(xi), np.asarray(yi)
+    for y, x in zip(*np.where(mism)):
+        # PIL picked a tap adjacent to ours (off-by-one fixed-point artifact)
+        ty, tx = yi[y, x], xi[y, x]
+        window = IMG[max(0, ty - 1):ty + 2, max(0, tx - 1):tx + 2]
+        assert (window == want[y, x]).all(-1).any(), (y, x)
 
 
 def test_full_sample_runs_and_preserves_mask_dtype():

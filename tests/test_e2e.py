@@ -173,3 +173,20 @@ def test_eval_clears_stale_task_artifacts(trained, synth_root):
     assert not os.path.exists(stale_t)
     assert os.path.exists(other)  # other task untouched
     os.unlink(other)
+
+
+def test_nan_f1_warning_names_absent_classes(capsys):
+    """When the damage harmonic-mean F1 is NaN (class absent from val,
+    reference f1.py:44-49) the trainer names the absent classes instead of
+    burning patience silently."""
+    from xview2_tpu.train.trainer import _warn_nan_f1
+
+    per_class = np.array([80.0, float("nan"), 75.0, float("nan")])
+    _warn_nan_f1(float("nan"), per_class, epoch=3, patience_left=7)
+    out = capsys.readouterr().out
+    assert "val F1 is NaN at epoch 3" in out
+    assert "[2, 4]" in out and "patience" in out
+    # no warning when F1 is finite or per_class is absent (pre task)
+    _warn_nan_f1(55.0, per_class, epoch=4, patience_left=7)
+    _warn_nan_f1(float("nan"), None, epoch=4, patience_left=7)
+    assert capsys.readouterr().out == ""

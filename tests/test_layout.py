@@ -43,3 +43,14 @@ def test_pallas_identity_large_block_tiles():
                     jnp.float32)  # (2,512,2048) merged: 4 MB/row-block cap
     out = _pallas_identity(x, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_pallas_identity_prime_h_wide_w_tiles_minor():
+    # prime H with a single merged row wider than the 4 MB VMEM cap: the
+    # divisor search over H finds nothing, so W must be tiled (ADVICE r2:
+    # the old search silently emitted an over-cap block here)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 3, 1 << 20, 2)), jnp.float32)
+    # merged (1, 3, 2**21): one row = 8 MB > cap; 3 is prime
+    out = _pallas_identity(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))

@@ -149,8 +149,37 @@ def _nearest_gather(img2d: Array, src_x: Array, src_y: Array, inb: Array) -> Arr
     return jnp.where(inb, out, 0)
 
 
+def _rotate_coords(mag: Array, h: int, w: int) -> Tuple[Array, Array, Array]:
+    """Exact PIL ``Image.rotate(mag)`` NEAREST source taps.
+
+    PIL rotates counterclockwise about ``(w/2, h/2)`` and samples the affine
+    at *destination pixel centers*, truncating the source center coordinate
+    (``Geometry.c`` affine_transform: ``(int)(a0 + a1*(x+0.5) + ...)``, with
+    negatives mapped out of bounds) — i.e. ``floor``, not round-half-even.
+    Returns integer taps ``(xi, yi)`` and the in-bounds mask.
+
+    Measured <0.1% of pixels differ from PIL by one adjacent tap: PIL's
+    NEAREST fast path (``ImagingTransformAffine``) evaluates the same affine
+    with incremental 16.16 fixed-point adds, whose accumulated rounding can
+    cross a floor boundary this closed form doesn't.
+    """
+    theta = jnp.deg2rad(mag)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = w / 2.0, h / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - cx
+    xi = jnp.floor(cos * xs - sin * ys + cx).astype(jnp.int32)
+    yi = jnp.floor(sin * xs + cos * ys + cy).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    return xi, yi, inb
+
+
 def _spatial_matrix(op: Array, mag: Array, h: int, w: int) -> Array:
-    """Affine dst->src coefficient vector for the 5 spatial ops."""
+    """Affine dst->src coefficient vector for the 5 spatial ops.
+
+    Only exercised by the PIL-oracle parity tests these days: production
+    shears/translates run through :func:`_row_shift_pass` and rotate through
+    :func:`_rotate_coords`; this is the reference-form executable spec."""
     def shear_x(m):
         return jnp.array([1.0, m, 0.0, 0.0, 1.0, 0.0])
 
@@ -293,10 +322,14 @@ def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
     ``[0, w-1]`` source range is zero-filled.
     """
     h, w, c = packed.shape
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and w >= 32:
         # Pallas kernel: dynamic lane roll in VMEM — the XLA slice-gather
         # below lowers to a serialized while loop (~10 ms per pass for a
         # batch of 8 512^2 tiles); the kernel runs at copy speed.
+        # The kernel's pad = w // 2 window requires |shift| < pad; the largest
+        # AutoAugment shift is translate's 0.453*w, which fits iff w >= 22
+        # (pltpu.roll would silently wrap pixels in from the opposite edge
+        # otherwise) — tiny --train_crop widths take the XLA path below.
         from xview2_tpu.ops.rowshift import row_shift_pallas
         pad = w // 2
         x = jnp.swapaxes(packed, 1, 2)  # (H, C, W): W on lanes
@@ -355,12 +388,12 @@ def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
     out_y = jnp.swapaxes(
         _row_shift_pass(jnp.swapaxes(packed, 0, 1), shift_y, op == SHEAR_Y), 0, 1)
 
-    # rotate: per-pixel nearest (exact PIL semantics incl. jnp.round ties)
-    mat = _spatial_matrix(op, mag, h, w)
-    sx, sy, inb = _affine_coords(h, w, mat)
-    xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
-    out_rot = jnp.where(inb[..., None], _flat_gather(packed, xi, yi), 0.0)
+    # rotate: per-pixel nearest, exact PIL (center w/2, floor of the source
+    # center coordinate — see _rotate_coords; NOT jnp.round's half-even)
+    xi, yi, inb = _rotate_coords(mag, h, w)
+    out_rot = jnp.where(inb[..., None],
+                        _flat_gather(packed, jnp.clip(xi, 0, w - 1),
+                                     jnp.clip(yi, 0, h - 1)), 0.0)
 
     is_x = (op == SHEAR_X) | (op == TRANS_X)
     is_y = (op == SHEAR_Y) | (op == TRANS_Y)

@@ -55,17 +55,25 @@ def _pallas_identity(x: Array, interpret: bool = False) -> Array:
         x = x.reshape(x.shape[0], 1, x.shape[1])
     b, h, w = x.shape
     # largest row-tile whose in+out double-buffered windows fit scoped VMEM
-    # (a (1, 1024, 4096) f32 eval-logits block is 16 MB and OOMs otherwise)
-    bh = 1
+    # (a (1, 1024, 4096) f32 eval-logits block is 16 MB and OOMs otherwise);
+    # when even a single row exceeds the cap (prime-ish H from --train_crop /
+    # odd eval sizes with a wide merged minor dim), tile W by divisors too —
+    # the (1, 1) block always fits, so the search cannot fail
+    bh, bw = 1, w
     for d in range(h, 0, -1):
         if h % d == 0 and d * w * x.dtype.itemsize <= _BLOCK_BYTES:
             bh = d
             break
+    else:
+        for d in range(w, 0, -1):
+            if w % d == 0 and d * x.dtype.itemsize <= _BLOCK_BYTES:
+                bw = d
+                break
     out = pl.pallas_call(
         _copy_kernel,
-        grid=(b, h // bh),
-        in_specs=[pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0)),
+        grid=(b, h // bh, w // bw),
+        in_specs=[pl.BlockSpec((1, bh, bw), lambda i, j, k: (i, j, k))],
+        out_specs=pl.BlockSpec((1, bh, bw), lambda i, j, k: (i, j, k)),
         out_shape=jax.ShapeDtypeStruct((b, h, w), x.dtype),
         interpret=interpret,
     )(x)

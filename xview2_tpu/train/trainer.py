@@ -70,6 +70,22 @@ def _is_improvement(f1: float, best_f1: float, best_exists: bool) -> bool:
     return f1 >= best_f1
 
 
+def _warn_nan_f1(f1: float, per_class, epoch: int, patience_left: int) -> None:
+    """Surface WHY val F1 is NaN instead of burning patience silently.
+
+    The NaN itself is parity-faithful (reference ``f1.py:44-49``: the damage
+    harmonic mean is 0/0 when a class never occurs in the val split), but the
+    reference gave the operator no signal before early stopping fired.
+    """
+    if not math.isnan(f1) or per_class is None:
+        return
+    absent = [i + 1 for i, v in enumerate(per_class) if math.isnan(float(v))]
+    print(f"WARNING: val F1 is NaN at epoch {epoch}: damage class(es) {absent} "
+          f"never occur in the val split (no predictions or targets); "
+          f"early-stopping patience is still being consumed "
+          f"({patience_left} epoch(s) left)", flush=True)
+
+
 class Runner:
     """Holds mesh, model, steps and state for one run."""
 
@@ -219,6 +235,7 @@ def fit(cfg: Config) -> str:
 
         f1, per_class, val_loss = runner.run_eval(eval_step, state.params,
                                                   state.batch_stats, val_loader)
+        _warn_nan_f1(f1, per_class, epoch, patience_left)
         improved = _is_improvement(f1, best_f1, ckpt_lib.checkpoint_exists(best_path))
         if improved:
             if not math.isnan(f1):  # never poison best_f1 with NaN
