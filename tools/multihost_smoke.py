@@ -53,7 +53,8 @@ def worker(rank: int) -> None:
     imgs = jax.make_array_from_process_local_data(bs, global_imgs[rank * 4:(rank + 1) * 4])
     msks = jax.make_array_from_process_local_data(bs, global_msks[rank * 4:(rank + 1) * 4])
 
-    step = jax.jit(make_train_step(cfg, model, tx, crop=64), donate_argnums=0)
+    step = jax.jit(make_train_step(cfg, model, tx, crop=64, mesh=mesh),
+                   donate_argnums=0)
     state, loss = step(state, imgs, msks, jax.random.PRNGKey(1))
     loss = float(loss)
     assert np.isfinite(loss)

@@ -33,6 +33,11 @@ import numpy as np
 
 Array = jax.Array
 
+# test hook: run the Pallas row-shift branch in interpret mode on non-TPU
+# backends, so sharded tests exercise the TPU-branch logic (not the XLA
+# fallback) on the virtual CPU mesh
+force_pallas_interpret = False
+
 # op ids
 SHEAR_X, SHEAR_Y, TRANS_X, TRANS_Y, ROTATE = 0, 1, 2, 3, 4
 COLOR, POSTERIZE, SOLARIZE, CONTRAST, SHARPNESS = 5, 6, 7, 8, 9
@@ -322,7 +327,8 @@ def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
     ``[0, w-1]`` source range is zero-filled.
     """
     h, w, c = packed.shape
-    if jax.default_backend() == "tpu" and w >= 32:
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or force_pallas_interpret) and w >= 32:
         # Pallas kernel: dynamic lane roll in VMEM — the XLA slice-gather
         # below lowers to a serialized while loop (~10 ms per pass for a
         # batch of 8 512^2 tiles); the kernel runs at copy speed.
@@ -335,7 +341,8 @@ def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
         x = jnp.swapaxes(packed, 1, 2)  # (H, C, W): W on lanes
         x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
         out = row_shift_pallas(x, shift,
-                               bilinear_sel.astype(jnp.int32)[None], w, pad)
+                               bilinear_sel.astype(jnp.int32)[None], w, pad,
+                               interpret=not on_tpu)
         return jnp.swapaxes(out, 1, 2)
 
     k = jnp.floor(shift)
@@ -355,6 +362,44 @@ def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
     src = jnp.arange(w, dtype=jnp.float32)[None, :] + shift[:, None]
     inb = (src >= 0) & (src <= w - 1)
     return jnp.where(inb[..., None], out, 0.0)
+
+
+def _rotate_3shear(packed: Array, mag: Array) -> Array:
+    """Rotate by ``mag`` degrees (PIL ccw) as three shear passes.
+
+    The dst->src rotation matrix factors exactly as
+    ``Sx(a) @ Sy(b) @ Sx(a)`` with ``a = -tan(theta/2)``, ``b = sin(theta)``
+    (Paeth 1986), so rotation runs as row-shift / column-shift / row-shift
+    through the Pallas dynamic-lane-roll kernel instead of the per-pixel 2-D
+    gather (~14.6 ms per batched 512^2 pass on v5e — the gather engine is
+    per-element-rate-bound, while the shifts stream at copy speed).
+
+    Each pass takes the nearest tap (PIL rotate resamples NEAREST), so taps
+    can drift up to ~1.5 px from the exact one-gather rotation near high
+    angles — an augmentation-level difference, applied consistently to image
+    channels and mask.  The width is statically widened by the worst-case
+    first-shear overhang (table max 30 deg) so corner content survives the
+    intermediate passes; height needs no widening (content never leaves
+    [0, h) until the y-shear, whose out-of-range reads are genuine zeros).
+    """
+    h, w, c = packed.shape
+    theta = jnp.deg2rad(mag)
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    # static worst-case overhang of the first x-shear: tan(15 deg) * h/2
+    mx = int(np.ceil(0.2680 * (h - 1) / 2.0)) + 2
+    wp = w + 2 * mx
+    cy = (h - 1) / 2.0
+    cxp = mx + (w - 1) / 2.0
+
+    x1 = jnp.pad(packed, ((0, 0), (mx, mx), (0, 0)))
+    shift_a = a * (jnp.arange(h, dtype=jnp.float32) - cy)
+    x1 = _row_shift_pass(x1, shift_a, jnp.bool_(False))
+    shift_b = b * (jnp.arange(wp, dtype=jnp.float32) - cxp)
+    x2 = jnp.swapaxes(
+        _row_shift_pass(jnp.swapaxes(x1, 0, 1), shift_b, jnp.bool_(False)), 0, 1)
+    x3 = _row_shift_pass(x2, shift_a, jnp.bool_(False))
+    return x3[:, mx:mx + w]
 
 
 def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
@@ -388,12 +433,18 @@ def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
     out_y = jnp.swapaxes(
         _row_shift_pass(jnp.swapaxes(packed, 0, 1), shift_y, op == SHEAR_Y), 0, 1)
 
-    # rotate: per-pixel nearest, exact PIL (center w/2, floor of the source
-    # center coordinate — see _rotate_coords; NOT jnp.round's half-even)
-    xi, yi, inb = _rotate_coords(mag, h, w)
-    out_rot = jnp.where(inb[..., None],
-                        _flat_gather(packed, jnp.clip(xi, 0, w - 1),
-                                     jnp.clip(yi, 0, h - 1)), 0.0)
+    if jax.default_backend() == "tpu" or force_pallas_interpret:
+        # rotate as 3 shear passes through the row-shift kernel (copy speed);
+        # taps may drift <=~1.5 px from the exact gather — augmentation-level
+        # difference (see _rotate_3shear)
+        out_rot = _rotate_3shear(packed, mag)
+    else:
+        # rotate: per-pixel nearest, exact PIL (center w/2, floor of the
+        # source center coordinate — see _rotate_coords; NOT round-half-even)
+        xi, yi, inb = _rotate_coords(mag, h, w)
+        out_rot = jnp.where(inb[..., None],
+                            _flat_gather(packed, jnp.clip(xi, 0, w - 1),
+                                         jnp.clip(yi, 0, h - 1)), 0.0)
 
     is_x = (op == SHEAR_X) | (op == TRANS_X)
     is_y = (op == SHEAR_Y) | (op == TRANS_Y)

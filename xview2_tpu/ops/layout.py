@@ -20,13 +20,16 @@ a small channel dim (e.g. 2-class logits) would otherwise be padded to 128
 lanes in VMEM (128 MB of scoped VMEM for a (1,512,512,2) window).
 
 On non-TPU backends this is a no-op: the layout pathology is TPU-specific and
-Mosaic kernels don't run on the CPU test backend.  Under a multi-chip GSPMD
-step, XLA has no partitioning rule for the custom call and falls back to
-replicating it (correct, but it adds a gather); if multi-chip profiles ever
-show that gather, wrap the call in ``shard_map`` over the data axis.
+Mosaic kernels don't run on the CPU test backend (tests force the kernel via
+``force_interpret``).  Under a multi-chip step the caller passes the mesh and
+the op runs per-shard under ``shard_map`` — see ``relayout_standard``.
+(A ``custom_partitioning`` registration was the annotation-only alternative,
+but it measured a multi-minute TPU compile stall on the single-chip path;
+``shard_map`` keeps the single-chip program bit-identical.)
 
 Reference counterpart: none — torch/cuDNN (NCHW) has no analogous
-layout-propagation failure mode; this is TPU-native plumbing.
+layout-propagation failure mode; this is TPU-native plumbing (the reference's
+DDP runs everything identically per-rank, ``main.py:107``).
 """
 
 from __future__ import annotations
@@ -36,6 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 Array = jax.Array
+
+# test hook: run the Pallas kernel in interpret mode on non-TPU backends so
+# the sharded/partitioned path can be exercised on the CPU test mesh
+force_interpret = False
 
 
 def _copy_kernel(x_ref, o_ref):
@@ -80,26 +87,50 @@ def _pallas_identity(x: Array, interpret: bool = False) -> Array:
     return out.reshape(orig_shape)
 
 
+def _identity(x: Array) -> Array:
+    return _pallas_identity(x, interpret=force_interpret)
+
+
 @jax.custom_vjp
 def _relayout(x: Array) -> Array:
-    return _pallas_identity(x)
+    return _identity(x)
 
 
 def _relayout_fwd(x):
-    return _pallas_identity(x), None
+    return _identity(x), None
 
 
 def _relayout_bwd(_, g):
     # relayout the cotangent too: the loss-side backward then also runs on
     # standard layouts, and the model side receives a clean buffer
-    return (_pallas_identity(g),)
+    return (_identity(g),)
 
 
 _relayout.defvjp(_relayout_fwd, _relayout_bwd)
 
 
-def relayout_standard(x: Array) -> Array:
-    """Force ``x`` into a standard-layout buffer on TPU; identity elsewhere."""
-    if jax.default_backend() != "tpu":
+def relayout_standard(x: Array, mesh=None) -> Array:
+    """Force ``x`` into a standard-layout buffer on TPU; identity elsewhere.
+
+    With a multi-device ``mesh`` the Pallas call runs under ``shard_map``
+    over every mesh axis (batch on ``data``, height on ``space`` when
+    present) — the op is elementwise, so each shard relayouts locally and
+    the partitioned HLO carries no collective.  Without this an unregistered
+    custom call would be *replicated* by GSPMD, i.e. an all-gather of the
+    full logits per step.  On a single device the plain call is emitted —
+    bit-identical program to the unmeshed path.
+    """
+    if jax.default_backend() != "tpu" and not force_interpret:
         return x
-    return _relayout(x)
+    if mesh is None or mesh.size == 1:
+        return _relayout(x)
+    from jax.sharding import PartitionSpec as P
+
+    from xview2_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+    dims = [DATA_AXIS] + [None] * (x.ndim - 1)
+    if SPACE_AXIS in mesh.axis_names and x.ndim >= 2:
+        dims[1] = SPACE_AXIS
+    spec = P(*dims)
+    return jax.shard_map(_relayout, mesh=mesh, in_specs=(spec,),
+                         out_specs=spec, check_vma=False)(x)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from jax.sharding import Mesh, PartitionSpec as P
+
 from xview2_tpu.config import Config
 from xview2_tpu.models.unet import emits_packed_loss_view
 from xview2_tpu.ops.augment import augment_sample, eval_batch
@@ -27,8 +29,43 @@ from xview2_tpu.ops.layout import relayout_standard
 from xview2_tpu.ops.losses import (deep_supervision_loss, make_loss_fn,
                                    packed_loss_view_labels)
 from xview2_tpu.ops.metrics import F1State, update_f1_state
+from xview2_tpu.parallel.mesh import DATA_AXIS
 
 Array = jax.Array
+
+
+def _augment_batch(use_autoaugment: bool, crop: int, bgr: bool,
+                   mesh: Optional[Mesh]):
+    """Batched augmentation, explicitly data-parallel over the mesh.
+
+    The per-sample augmentation pipeline ends in Pallas custom calls (the
+    AutoAugment row-shift kernel, ``ops/rowshift.py``); an unregistered custom
+    call has no GSPMD/shardy partitioning rule, so a multi-chip step would
+    *replicate* the whole vmapped augmentation — an all-gather of the raw
+    batch per step.  With a mesh, the vmapped pipeline runs under
+    ``shard_map`` over the ``data`` axis: each chip augments only its batch
+    shard, locally (the op is independent per sample; warps and channel swaps
+    are global *within* a sample, so samples are never split).  On a 2-D
+    ``--spatial_shards`` mesh the body is unmapped over ``space`` — each space
+    shard augments its data shard replicated, and GSPMD re-shards the output
+    height downstream.  Reference counterpart: DDP runs the CPU augmentation
+    identically per-rank (``main.py:107``).
+
+    (``custom_partitioning`` would be the annotation-only alternative, but it
+    rejects functions whose jaxprs carry constants — the AutoAugment policy
+    tables and ImageNet normalization constants are exactly that.)
+    """
+
+    def impl(keys, images, masks):
+        aug = functools.partial(augment_sample, use_autoaugment=use_autoaugment,
+                                crop=crop, bgr=bgr)
+        return jax.vmap(aug)(keys, images, masks)
+
+    if mesh is None or mesh.size == 1:
+        return impl
+    spec = P(DATA_AXIS)
+    return jax.shard_map(impl, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=(spec, spec), check_vma=False)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -53,6 +90,7 @@ def init_train_state(cfg: Config, model, tx: optax.GradientTransformation,
 
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                     crop: int = 512, remat: bool = False,
+                    mesh: Optional[Mesh] = None,
                     ) -> Callable[[TrainState, Array, Array, Array], Tuple[TrainState, Array]]:
     """Build the fused augment+train step.
 
@@ -62,13 +100,20 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
 
     ``remat`` rematerializes the forward in the backward (``jax.checkpoint``).
     Default off: a controlled sweep on v5e (batch 16, resnet50 UNetLoc,
-    donated state) measured every remat policy *slower* than none
+    donated state) measured every whole-policy remat *slower* than none
     (none 189 ms / full 290 / dots 289 / dots-batch 266) — activations fit in
     HBM (10.4 GB temp), so recompute only adds FLOPs.  The knob remains for
     larger models/batches where temp memory would otherwise spill.
+
+    ``remat`` also accepts the surgical string policies ``"act"`` (recompute
+    activation outputs in the backward — they are elementwise functions of
+    the saved BN outputs) and ``"bn_act"`` (recompute BN+activation from the
+    conv outputs): the round-1 sweep only tested whole policies, these drop
+    exactly the elementwise tails from the saved set.
     """
     loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
     use_aa = cfg.autoaugment
+    rl = functools.partial(relayout_standard, mesh=mesh)
     # the packed output head emits train logits as a (B, H/2, 2W, n) pixel
     # permutation (no depth-to-space transpose); pair it with the same
     # permutation of the labels — every loss term is permutation-invariant
@@ -82,27 +127,35 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         # augmentation gathers' batch-minor layout propagates into ~11.5 ms of
         # lane-starved loss ops (ops/layout.py; -10.6 ms on the headline step)
         if isinstance(outs, list):
-            loss = deep_supervision_loss(loss_fn, [relayout_standard(o) for o in outs],
+            loss = deep_supervision_loss(loss_fn, [rl(o) for o in outs],
                                          y, main_labels=y_main)
         else:
-            loss = loss_fn(relayout_standard(outs), y_main)
+            loss = loss_fn(rl(outs), y_main)
         return loss, mutated["batch_stats"]
 
-    if remat:
+    if remat == "act":
+        forward_loss = jax.checkpoint(
+            forward_loss,
+            policy=jax.checkpoint_policies.save_anything_except_these_names("act"))
+    elif remat == "bn_act":
+        forward_loss = jax.checkpoint(
+            forward_loss,
+            policy=jax.checkpoint_policies.save_anything_except_these_names("bn", "act"))
+    elif remat:
         forward_loss = jax.checkpoint(
             forward_loss, policy=jax.checkpoint_policies.dots_saveable)
 
+    augment = _augment_batch(use_aa, crop, cfg.bgr, mesh)
+
     def step_fn(state: TrainState, images: Array, masks: Array, rng: Array):
         keys = jax.random.split(rng, images.shape[0])
-        aug = functools.partial(augment_sample, use_autoaugment=use_aa, crop=crop,
-                                bgr=cfg.bgr)
-        x, y = jax.vmap(aug)(keys, images, masks)
+        x, y = augment(keys, images, masks)
         if packed_view:
-            y_main = relayout_standard(packed_loss_view_labels(y))
+            y_main = rl(packed_loss_view_labels(y))
             # fine labels are only consumed by the DS-head loss terms
-            y = relayout_standard(y) if cfg.deep_supervision else y_main
+            y = rl(y) if cfg.deep_supervision else y_main
         else:
-            y = y_main = relayout_standard(y)
+            y = y_main = rl(y)
 
         (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
             state.params, state.batch_stats, x, y, y_main)
@@ -133,7 +186,7 @@ def tta_forward(model, variables, x: Array, use_tta: bool) -> Array:
             + jnp.flip(p3, axis=(1, 2))) / 4.0
 
 
-def make_eval_step(cfg: Config, model):
+def make_eval_step(cfg: Config, model, mesh: Optional[Mesh] = None):
     """Build the eval step: normalize, TTA forward, loss, F1 accumulate.
 
     Returns ``(f1_state, loss_sum, loss_count, logits)``; ``valid`` is a (B,)
@@ -148,7 +201,7 @@ def make_eval_step(cfg: Config, model):
         x = eval_batch(images, bgr=cfg.bgr)
         variables = {"params": params, "batch_stats": batch_stats}
         logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
-        logits = relayout_standard(logits)  # see make_train_step
+        logits = relayout_standard(logits, mesh=mesh)  # see make_train_step
         loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)
         f1_state = update_f1_state(f1_state, logits, masks, n_class=n_class,
                                    loss_str=cfg.loss_str, sample_valid=valid)

@@ -201,9 +201,10 @@ def fit(cfg: Config) -> str:
         best_f1, best_epoch = meta["best_f1"], meta["best_epoch"]
         print(f"resumed from {resume_path} at epoch {start_epoch}", flush=True)
 
-    train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop),
+    train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop,
+                                         mesh=runner.mesh),
                          donate_argnums=0)
-    eval_step = jax.jit(make_eval_step(cfg, runner.model))
+    eval_step = jax.jit(make_eval_step(cfg, runner.model, mesh=runner.mesh))
     logger = MetricsLogger(cfg.results, cfg.logname)
     base_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
 
@@ -340,7 +341,7 @@ def test(cfg: Config) -> dict:
 
     _clear_task_artifacts(cfg)
     _, _, test_loader = make_loaders_for(runner)
-    eval_step = jax.jit(make_eval_step(cfg, runner.model))
+    eval_step = jax.jit(make_eval_step(cfg, runner.model, mesh=runner.mesh))
     f1_state = jax.device_put(init_f1_state(cfg.n_metric_class), runner.replicated)
     idx = 0
     for batch in test_loader:
