@@ -135,3 +135,39 @@ def test_full_sample_runs_and_preserves_mask_dtype():
         assert out.shape == (64, 64, 6)
         assert m.shape == (64, 64)
         assert int(jnp.max(m)) <= 4  # labels never corrupted by resampling
+
+
+@pytest.mark.parametrize("angle", [10.0, 26.666666, 30.0])
+def test_rotate_3shear_is_a_rotation(angle):
+    """The TPU rotate path (3 shear passes through the row-shift kernel,
+    _rotate_3shear) must be a true rotation: every output pixel equals the
+    input at a tap within 2 px of the exact rotation's tap (nearest-tap drift
+    of the Paeth decomposition), zero-filled corners allowed, and mask values
+    stay hard (nearest taps only).  Angles are the policy table's rotate
+    magnitudes (indices 3, 8, 9)."""
+    from xview2_tpu.ops.autoaugment import (_flat_gather, _rotate_3shear,
+                                            _rotate_coords)
+
+    h = w = 64
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 256, (h, w, 3)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 5, (h, w)), jnp.float32)
+    packed = jnp.concatenate([img, mask[..., None]], axis=-1)
+    got = np.asarray(_rotate_3shear(packed, jnp.float32(angle)))
+    assert set(np.unique(got[..., -1])) <= set(range(5))  # labels stay hard
+
+    xi, yi, inb = _rotate_coords(jnp.float32(angle), h, w)
+    xi, yi = np.asarray(xi), np.asarray(yi)
+    want = np.asarray(jnp.where(
+        inb[..., None],
+        _flat_gather(packed, jnp.clip(jnp.asarray(xi), 0, w - 1),
+                     jnp.clip(jnp.asarray(yi), 0, h - 1)), 0.0))
+    exact = (got == want).all(-1)
+    assert exact.mean() > 0.5
+    src = np.asarray(packed)
+    for y, x in zip(*np.where(~exact)):
+        if (got[y, x] == 0).all():
+            continue  # conservative corner fill
+        ty, tx = yi[y, x], xi[y, x]
+        win = src[max(0, ty - 2):ty + 3, max(0, tx - 2):tx + 3]
+        assert (win == got[y, x]).all(-1).any(), (y, x)

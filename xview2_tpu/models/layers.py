@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 Dtype = Any
@@ -44,7 +45,15 @@ BN_EPS = 1e-5
 
 
 def leaky_relu(x: Array) -> Array:
-    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+    # checkpoint_name is identity outside jax.checkpoint; under the surgical
+    # remat policy (parallel/steps.py) activation outputs are recomputed in
+    # the backward instead of stored
+    return checkpoint_name(nn.leaky_relu(x, negative_slope=LEAKY_SLOPE), "act")
+
+
+def tag_bn(x: Array) -> Array:
+    """Tag a BatchNorm output for the surgical remat policy (see steps.py)."""
+    return checkpoint_name(x, "bn")
 
 
 @functools.lru_cache(maxsize=64)
@@ -118,8 +127,8 @@ class ConvLayer(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(x)
+        x = tag_bn(nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                                epsilon=BN_EPS, dtype=self.dtype)(x))
         return leaky_relu(x)
 
 
@@ -377,6 +386,34 @@ def s2d_conv_kernel(w: Array) -> Array:
     return wp.reshape(3, 3, 4 * ci, 4 * co)
 
 
+def s2d_phase_kernels(w: Array):
+    """Slice the packed (3,3,4Ci,4Co) embedding into 4 per-output-phase
+    (2,2,4Ci,Co) kernels plus their asymmetric paddings.
+
+    The dense ``s2d_conv_kernel`` embedding costs 4x the fine conv's FLOPs
+    (worth it at C<=32 where lanes quadruple, a loss at C=64 — BASELINE.md
+    round-2 negative).  Per output phase d, the only non-zero coarse taps lie
+    in a 2x2 window (phase 0 needs taps {-1,0}, phase 1 taps {0,+1} per dim),
+    so computing each phase with its dense 2x2x4Ci window is 16/9 the fine
+    FLOPs — while reading the packed input at full 4Ci lanes.  Returns
+    ``[(kernel, ((pad_h), (pad_w)))]`` in phase-major (d1*2+d2) order; the
+    concat of the 4 outputs is the standard packed layout.
+    """
+    wp = s2d_conv_kernel(w)  # (3, 3, 4Ci, 4Co)
+    co = w.shape[3]
+    out = []
+    for d1 in range(2):
+        rows = slice(0, 2) if d1 == 0 else slice(1, 3)
+        pad_h = (1, 0) if d1 == 0 else (0, 1)
+        for d2 in range(2):
+            cols = slice(0, 2) if d2 == 0 else slice(1, 3)
+            pad_w = (1, 0) if d2 == 0 else (0, 1)
+            phase = 2 * d1 + d2
+            k = wp[rows, cols, :, phase * co:(phase + 1) * co]
+            out.append((k, (pad_h, pad_w)))
+    return out
+
+
 def s2d_head_kernel(w: Array, groups: int) -> Array:
     """Embed a fine 1x1 head kernel (1,1,groups*C,n) as the packed
     (1,1,groups*4C,4n) block-diagonal-over-phases kernel.  ``groups`` is the
@@ -460,7 +497,7 @@ class _PackedBN(nn.Module):
         mul = (jax.lax.rsqrt(var + BN_EPS) * scale).astype(self.dtype)
         y = (x - jnp.tile(mean.astype(self.dtype), 4)) * jnp.tile(mul, 4) \
             + jnp.tile(bias.astype(self.dtype), 4)
-        return y.astype(self.dtype)
+        return tag_bn(y.astype(self.dtype))
 
 
 class PackedConvLayer(nn.Module):
@@ -481,6 +518,34 @@ class PackedConvLayer(nn.Module):
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
+        return leaky_relu(x)
+
+
+class PackedPhaseConvLayer(nn.Module):
+    """ConvLayer on s2d-packed activations via 4 per-output-phase convs.
+
+    FLOP-lean alternative to ``PackedConvLayer``'s dense embedding (16/9x the
+    fine conv's FLOPs instead of 4x, see ``s2d_phase_kernels``) aimed at the
+    C=64 decoder stage where the dense embedding's FLOP expansion loses
+    (BASELINE.md round-2 negative) but fine-grid convs run at 50% lanes.
+    Variable tree matches ``ConvLayer`` exactly.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        ci = x.shape[-1] // 4
+        w = _ConvKernel((3, 3, ci, self.features), name="Conv_0")()
+        outs = [
+            jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                [pad_h, pad_w], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            for k, (pad_h, pad_w) in s2d_phase_kernels(w)
+        ]
+        x = jnp.concatenate(outs, axis=-1)
         x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
         return leaky_relu(x)
 

@@ -31,8 +31,10 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import BN_EPS, BN_MOMENTUM, _ConvKernel, torch_conv_init
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _ConvKernel, tag_bn,
+                                      torch_conv_init)
 
 Array = jax.Array
 Dtype = Any
@@ -52,8 +54,14 @@ RESNEST_STEM_WIDTH = {
 
 
 def _bn(dtype, train, name=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, dtype=dtype, name=name)
+    mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                       epsilon=BN_EPS, dtype=dtype, name=name)
+    return lambda x: tag_bn(mod(x))
+
+
+def _relu(x):
+    # remat-taggable relu (identity tag outside jax.checkpoint; see steps.py)
+    return checkpoint_name(nn.relu(x), "act")
 
 
 def avg_pool_torch(x: Array, window: int, stride: int, padding: int = 0,
@@ -130,14 +138,14 @@ class SplAtConv2d(nn.Module):
                 for g in range(2)
             ]
             y = _bn(self.dtype, train, "bn0")(jnp.concatenate(ys, axis=-1))
-            y = nn.relu(y)
+            y = _relu(y)
             y0, y1 = y[..., :ch], y[..., ch:]
             gap = jnp.mean((y0 + y1).astype(jnp.float32), axis=(1, 2),
                            keepdims=True).astype(y.dtype)
             gap = nn.Conv(inter, (1, 1), use_bias=True, kernel_init=torch_conv_init,
                           dtype=self.dtype, name="fc1")(gap)
             gap = _bn(self.dtype, train, "bn1")(gap)
-            gap = nn.relu(gap)
+            gap = _relu(gap)
             atten = nn.Conv(ch * r, (1, 1), use_bias=True, kernel_init=torch_conv_init,
                             dtype=self.dtype, name="fc2")(gap)
             # radix softmax over 2 entries == sigmoid of the logit difference
@@ -150,7 +158,7 @@ class SplAtConv2d(nn.Module):
                     feature_group_count=card * r, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv")(x)
         x = _bn(self.dtype, train, "bn0")(x)
-        x = nn.relu(x)
+        x = _relu(x)
 
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
         # torch channel layout is group-major: split into radix chunks of `ch`.
@@ -160,7 +168,7 @@ class SplAtConv2d(nn.Module):
         gap = nn.Conv(inter, (1, 1), feature_group_count=card, use_bias=True,
                       kernel_init=torch_conv_init, dtype=self.dtype, name="fc1")(gap)
         gap = _bn(self.dtype, train, "bn1")(gap)
-        gap = nn.relu(gap)
+        gap = _relu(gap)
         atten = nn.Conv(ch * r, (1, 1), feature_group_count=card, use_bias=True,
                         kernel_init=torch_conv_init, dtype=self.dtype, name="fc2")(gap)
         # rSoftMax: softmax over the radix axis per (cardinality, channel) slot.
@@ -196,7 +204,7 @@ class ResNeStBottleneck(nn.Module):
         out = nn.Conv(group_width, (1, 1), use_bias=False, kernel_init=torch_conv_init,
                       dtype=self.dtype, name="conv1")(x)
         out = _bn(self.dtype, train, "bn1")(out)
-        out = nn.relu(out)
+        out = _relu(out)
         if use_avd and self.avd_first:
             out = avg_pool_torch(out, 3, self.stride, padding=1)
         out = SplAtConv2d(group_width, stride=conv2_stride, dilation=self.dilation,
@@ -219,7 +227,7 @@ class ResNeStBottleneck(nn.Module):
                                kernel_init=torch_conv_init, dtype=self.dtype,
                                name="downsample_conv")(identity)
             identity = _bn(self.dtype, train, "downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return _relu(out + identity)
 
 
 class ResNeStStage(nn.Module):
@@ -264,15 +272,15 @@ class ResNeStStem(nn.Module):
         x = nn.Conv(sw, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv1a")(x)
         x = _bn(self.dtype, train, "bn1a")(x)
-        x = nn.relu(x)
+        x = _relu(x)
         x = nn.Conv(sw, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv1b")(x)
         x = _bn(self.dtype, train, "bn1b")(x)
-        x = nn.relu(x)
+        x = _relu(x)
         x = nn.Conv(2 * sw, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv1c")(x)
         x = _bn(self.dtype, train, "bn1")(x)
-        return nn.relu(x)
+        return _relu(x)
 
 
 def resnest_stage_plan(arch: str, dilation: int) -> Sequence[dict]:

@@ -19,8 +19,9 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import BN_EPS, BN_MOMENTUM, torch_conv_init
+from xview2_tpu.models.layers import BN_EPS, BN_MOMENTUM, tag_bn, torch_conv_init
 
 Array = jax.Array
 Dtype = Any
@@ -33,8 +34,14 @@ RESNET_LAYERS = {
 
 
 def _bn(dtype, train, name=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, dtype=dtype, name=name)
+    mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                       epsilon=BN_EPS, dtype=dtype, name=name)
+    return lambda x: tag_bn(mod(x))
+
+
+def _relu(x):
+    # remat-taggable relu (identity tag outside jax.checkpoint; see steps.py)
+    return checkpoint_name(nn.relu(x), "act")
 
 
 class Bottleneck(nn.Module):
@@ -53,13 +60,13 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_conv_init,
                       dtype=self.dtype, name="conv1")(x)
         out = _bn(self.dtype, train, "bn1")(out)
-        out = nn.relu(out)
+        out = _relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=self.dilation, kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, kernel_init=torch_conv_init, dtype=self.dtype,
                       name="conv2")(out)
         out = _bn(self.dtype, train, "bn2")(out)
-        out = nn.relu(out)
+        out = _relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       kernel_init=torch_conv_init, dtype=self.dtype, name="conv3")(out)
         out = _bn(self.dtype, train, "bn3")(out)
@@ -69,7 +76,7 @@ class Bottleneck(nn.Module):
                                kernel_init=torch_conv_init, dtype=self.dtype,
                                name="downsample_conv")(x)
             identity = _bn(self.dtype, train, "downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return _relu(out + identity)
 
 
 class ResNetStage(nn.Module):
@@ -104,7 +111,7 @@ class ResNetStem(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv1")(x)
         x = _bn(self.dtype, train, "bn1")(x)
-        return nn.relu(x)
+        return _relu(x)
 
 
 def max_pool_3x3_s2(x: Array) -> Array:
