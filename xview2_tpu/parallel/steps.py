@@ -77,14 +77,19 @@ class TrainState(flax.struct.PyTreeNode):
 
 def init_train_state(cfg: Config, model, tx: optax.GradientTransformation,
                      rng: Array, sample_shape: Tuple[int, ...]) -> TrainState:
-    variables = model.init(rng, jnp.zeros((1,) + tuple(sample_shape), jnp.float32), True)
+    # jit both inits: run eagerly they execute op-by-op, and on the tunneled
+    # TPU every tiny eager compile is a >1 s relay RPC — a ResNet UNet init
+    # alone took ~10 minutes that way (one jitted program compiles once and
+    # persists in the compilation cache)
+    variables = jax.jit(model.init, static_argnums=2)(
+        rng, jnp.zeros((1,) + tuple(sample_shape), jnp.float32), True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
     )
 
 
