@@ -1,0 +1,53 @@
+"""make_train_multistep: K scanned steps == K sequential steps.
+
+The multi-step program exists to amortize per-launch dispatch overhead
+(BASELINE.md wall−device gap); it must not change training semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xview2_tpu.config import Config
+from xview2_tpu.models.unet import build_model
+from xview2_tpu.parallel.steps import (init_train_state, make_train_multistep,
+                                       make_train_step)
+from xview2_tpu.train.optimizers import build_optimizer
+
+
+def test_two_scanned_steps_match_two_sequential():
+    cfg = Config(type="pre", encoder="resnet50", precision=32,
+                 loss_str="focal+dice")
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    rnp = np.random.default_rng(0)
+    images = jnp.asarray(rnp.integers(0, 256, (2, 2, 64, 64, 3), np.uint8))
+    masks = jnp.asarray((rnp.random((2, 2, 64, 64)) > 0.9).astype(np.uint8))
+    rng = jax.random.PRNGKey(3)
+
+    state0 = init_train_state(cfg, model, tx, jax.random.PRNGKey(0), (32, 32, 3))
+    multi = jax.jit(make_train_multistep(cfg, model, tx, nsteps=2, crop=32))
+    m_state, m_losses = multi(state0, images, masks, rng)
+    assert m_losses.shape == (2,)
+
+    step = jax.jit(make_train_step(cfg, model, tx, crop=32))
+    keys = jax.random.split(rng, 2)
+    s_state = state0
+    s_losses = []
+    for k in range(2):
+        s_state, loss = step(s_state, images[k], masks[k], keys[k])
+        s_losses.append(float(loss))
+
+    # The scanned body and the standalone jitted step fuse (reassociate)
+    # differently; a ~1e-7 step-1 grad diff becomes a one-lr-quantum param
+    # diff through Adam's sqrt(v) normalization, which shows up in step 2's
+    # loss at the ~1e-5 level.  Step 1's loss matches exactly.
+    np.testing.assert_allclose(np.asarray(m_losses), np.asarray(s_losses), rtol=1e-4)
+    # Param atol must cover a few Adam lr quanta (lr 2e-4): near-zero-grad
+    # params flip by up to ~lr PER STEP under reassociation-level grad diffs
+    # (measured: 2/589824 elements at 1.05e-3 over two steps).  Real threading
+    # bugs (wrong key order, wrong batch slice, stale state) produce O(1e-1)
+    # param divergence and still fail.
+    for a, b in zip(jax.tree.leaves(m_state.params), jax.tree.leaves(s_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
+    assert int(m_state.step) == 2

@@ -20,6 +20,8 @@ FusionBlock :103-116, OutputBlock :171-189.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -54,6 +56,105 @@ def leaky_relu(x: Array) -> Array:
 def tag_bn(x: Array) -> Array:
     """Tag a BatchNorm output for the surgical remat policy (see steps.py)."""
     return checkpoint_name(x, "bn")
+
+
+# ---------------------------------------------------------------------------
+# Surgical BN+activation rematerialization ("tail remat").
+#
+# The train step is HBM-bandwidth-bound (BASELINE.md): every stored residual
+# costs a write in the forward and a read in the backward.  A BN output is an
+# elementwise function of its conv output, so storing BOTH is pure waste —
+# but expressing that with a whole-function `jax.checkpoint` policy
+# (`save_anything_except_these_names`) fails in practice: the policy makes
+# every OTHER intermediate saveable, and partial-eval then stores flax
+# BatchNorm's f32 pre-cast internals (2x bytes, measured HBM OOM at batch 16).
+#
+# Instead the remat region is LOCAL and positive: `_BNStats` (variable tree
+# identical to `nn.BatchNorm`) emits only the tiny per-channel fold vectors,
+# and normalize+activation runs inside `jax.checkpoint(..., nothing_saveable)`
+# whose only large saved residual is its bf16 conv-output input.  Call sites
+# keep the stock flax BatchNorm path when the switch is off, so default
+# numerics are untouched.  The switch is a contextvar read at *trace* time
+# (set inside the step function body), so no constructor threading is needed
+# and eval/init traces are unaffected.
+_REMAT_TAIL: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "xview2_remat_tail", default=False)
+
+
+@contextlib.contextmanager
+def remat_tail_scope(enabled: bool = True):
+    """Enable BN+activation tail rematerialization for traces in this scope."""
+    tok = _REMAT_TAIL.set(enabled)
+    try:
+        yield
+    finally:
+        _REMAT_TAIL.reset(tok)
+
+
+def remat_tail_active() -> bool:
+    return _REMAT_TAIL.get()
+
+
+class _BNStats(nn.Module):
+    """BatchNorm statistics with an ``nn.BatchNorm``-compatible variable tree.
+
+    Returns the folded per-channel ``(mean, mul, bias)`` f32 vectors
+    (``mul = rsqrt(var + eps) * scale``) instead of the normalized map, so the
+    caller can run the big elementwise normalize inside a local remat region.
+    Batch statistics are computed and running stats updated here, OUTSIDE the
+    region (they are (C,)-sized and must not be recomputed in the backward).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
+        if train:
+            xf = x.astype(jnp.float32)
+            n = x.size // c
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.sum(xf, axis=axes) / n
+            var = jnp.sum(jnp.square(xf), axis=axes) / n - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = jax.lax.rsqrt(var + BN_EPS) * scale
+        return mean, mul, bias
+
+
+def _norm_act(x: Array, mean: Array, mul: Array, bias: Array, act: str) -> Array:
+    dt = x.dtype
+    y = (x - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
+    if act == "leaky":
+        return nn.leaky_relu(y, negative_slope=LEAKY_SLOPE)
+    if act == "relu":
+        return nn.relu(y)
+    return y
+
+
+_REMAT_NORM_ACT = {
+    act: jax.checkpoint(functools.partial(_norm_act, act=act),
+                        policy=jax.checkpoint_policies.nothing_saveable)
+    for act in ("leaky", "relu", "none")
+}
+
+
+def remat_norm_act(x: Array, fold, act: str = "none") -> Array:
+    """Normalize (+activate) inside a nothing-saveable remat region.
+
+    ``fold`` is ``_BNStats``'s (mean, mul, bias); the region's only large
+    residual is ``x`` itself (the conv output, which the conv backward needs
+    anyway) — the normalized/activated maps are recomputed in the backward.
+    """
+    mean, mul, bias = fold
+    return _REMAT_NORM_ACT[act](x, mean, mul, bias)
 
 
 @functools.lru_cache(maxsize=64)
@@ -127,6 +228,9 @@ class ConvLayer(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        if remat_tail_active():
+            fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
+            return remat_norm_act(x, fold, "leaky")
         x = tag_bn(nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                                 epsilon=BN_EPS, dtype=self.dtype)(x))
         return leaky_relu(x)
@@ -472,9 +576,10 @@ class _PackedBN(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    emit_fold: bool = False  # return tiled (mean, mul, bias) instead of normalizing
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -493,6 +598,11 @@ class _PackedBN(nn.Module):
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+
+        if self.emit_fold:
+            # per-PACKED-channel fold vectors for remat_norm_act (4c,)
+            mulf = jax.lax.rsqrt(var + BN_EPS) * scale
+            return jnp.tile(mean, 4), jnp.tile(mulf, 4), jnp.tile(bias, 4)
 
         mul = (jax.lax.rsqrt(var + BN_EPS) * scale).astype(self.dtype)
         y = (x - jnp.tile(mean.astype(self.dtype), 4)) * jnp.tile(mul, 4) \
@@ -518,6 +628,10 @@ class PackedConvLayer(nn.Module):
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if remat_tail_active():
+            fold = _PackedBN(self.features, dtype=self.dtype, emit_fold=True,
+                             name="BatchNorm_0")(x, train)
+            return remat_norm_act(x, fold, "leaky")
         x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
         return leaky_relu(x)
 
@@ -546,6 +660,10 @@ class PackedPhaseConvLayer(nn.Module):
             for k, (pad_h, pad_w) in s2d_phase_kernels(w)
         ]
         x = jnp.concatenate(outs, axis=-1)
+        if remat_tail_active():
+            fold = _PackedBN(self.features, dtype=self.dtype, emit_fold=True,
+                             name="BatchNorm_0")(x, train)
+            return remat_norm_act(x, fold, "leaky")
         x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
         return leaky_relu(x)
 
@@ -578,6 +696,10 @@ class PackedGroupConvLayer(nn.Module):
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if remat_tail_active():
+            fold = _PackedBN(self.features, dtype=self.dtype, emit_fold=True,
+                             name="BatchNorm_0")(x, train)
+            return remat_norm_act(x, fold, "leaky")
         x = _PackedBN(self.features, dtype=self.dtype, name="BatchNorm_0")(x, train)
         return leaky_relu(x)
 

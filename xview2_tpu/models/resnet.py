@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import BN_EPS, BN_MOMENTUM, tag_bn, torch_conv_init
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats,
+                                      remat_norm_act, remat_tail_active,
+                                      tag_bn, torch_conv_init)
 
 Array = jax.Array
 Dtype = Any
@@ -33,9 +35,24 @@ RESNET_LAYERS = {
 }
 
 
-def _bn(dtype, train, name=None):
+def _bn(dtype, train, name=None, act=None):
+    """BN (+ optional fused relu) factory; local-remat variant when active.
+
+    Under ``remat_tail_scope`` the normalize(+relu) runs inside a
+    nothing-saveable checkpoint region (layers.remat_norm_act): the BN output
+    is recomputed from the conv output in the backward instead of stored.
+    ``_BNStats``'s variable tree is identical to ``nn.BatchNorm``'s, so both
+    paths share checkpoints.
+    """
+    if remat_tail_active():
+        def apply(x, _name=name):
+            fold = _BNStats(x.shape[-1], name=_name)(x, train)
+            return remat_norm_act(x, fold, "relu" if act == "relu" else "none")
+        return apply
     mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                        epsilon=BN_EPS, dtype=dtype, name=name)
+    if act == "relu":
+        return lambda x: _relu(tag_bn(mod(x)))
     return lambda x: tag_bn(mod(x))
 
 
@@ -59,14 +76,12 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_conv_init,
                       dtype=self.dtype, name="conv1")(x)
-        out = _bn(self.dtype, train, "bn1")(out)
-        out = _relu(out)
+        out = _bn(self.dtype, train, "bn1", act="relu")(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=self.dilation, kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, kernel_init=torch_conv_init, dtype=self.dtype,
                       name="conv2")(out)
-        out = _bn(self.dtype, train, "bn2")(out)
-        out = _relu(out)
+        out = _bn(self.dtype, train, "bn2", act="relu")(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       kernel_init=torch_conv_init, dtype=self.dtype, name="conv3")(out)
         out = _bn(self.dtype, train, "bn3")(out)
@@ -110,8 +125,7 @@ class ResNetStem(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype, name="conv1")(x)
-        x = _bn(self.dtype, train, "bn1")(x)
-        return _relu(x)
+        return _bn(self.dtype, train, "bn1", act="relu")(x)
 
 
 def max_pool_3x3_s2(x: Array) -> Array:

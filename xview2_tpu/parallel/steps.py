@@ -23,6 +23,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xview2_tpu.config import Config
+from xview2_tpu.models.layers import remat_tail_scope
 from xview2_tpu.models.unet import emits_packed_loss_view
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
@@ -110,11 +111,12 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     HBM (10.4 GB temp), so recompute only adds FLOPs.  The knob remains for
     larger models/batches where temp memory would otherwise spill.
 
-    ``remat`` also accepts the surgical string policies ``"act"`` (recompute
-    activation outputs in the backward — they are elementwise functions of
-    the saved BN outputs) and ``"bn_act"`` (recompute BN+activation from the
-    conv outputs): the round-1 sweep only tested whole policies, these drop
-    exactly the elementwise tails from the saved set.
+    ``remat`` also accepts the surgical string policies ``"tail"`` (each
+    BN+activation runs in a local nothing-saveable checkpoint region — the
+    elementwise tails are re-derived from the conv outputs in the backward,
+    see ``layers.remat_tail_scope``), plus ``"act"``/``"bn_act"``
+    (whole-function except-names policies, kept as measured negatives: they
+    make flax BN's f32 pre-cast internals saveable and OOM HBM at batch 16).
     """
     loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
     use_aa = cfg.autoaugment
@@ -138,7 +140,16 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             loss = loss_fn(rl(outs), y_main)
         return loss, mutated["batch_stats"]
 
-    if remat == "act":
+    if remat == "tail":
+        # handled at trace time inside step_fn via layers.remat_tail_scope:
+        # each BN+activation runs in a local nothing-saveable checkpoint
+        # region whose only large residual is the conv output.  The global
+        # except-names policies below are kept for reference but measured
+        # HARMFUL: marking everything else saveable makes partial-eval store
+        # flax BatchNorm's f32 pre-cast internals (2x bytes; HBM OOM at
+        # batch 16 on v5e).
+        pass
+    elif remat == "act":
         forward_loss = jax.checkpoint(
             forward_loss,
             policy=jax.checkpoint_policies.save_anything_except_these_names("act"))
@@ -162,8 +173,9 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         else:
             y = y_main = rl(y)
 
-        (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
-            state.params, state.batch_stats, x, y, y_main)
+        with remat_tail_scope(remat == "tail"):
+            (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+                state.params, state.batch_stats, x, y, y_main)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
@@ -171,6 +183,40 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         return new_state, loss
 
     return step_fn
+
+
+def make_train_multistep(cfg: Config, model, tx: optax.GradientTransformation,
+                         nsteps: int, crop: int = 512, remat: bool = False,
+                         mesh: Optional[Mesh] = None,
+                         ) -> Callable[[TrainState, Array, Array, Array], Tuple[TrainState, Array]]:
+    """``nsteps`` fused train steps in ONE device program (``lax.scan``).
+
+    Through the tunneled single-chip relay every program launch costs ~5 ms of
+    wall time over device time (BASELINE.md wall−device gap); batching K steps
+    into one launch amortizes it to ~5/K ms.  Inputs are stacked per-step
+    batches ``images (K, B, 1024, 1024, C)`` / ``masks (K, B, 1024, 1024)``
+    already on device (the trainer's prefetcher uploads batch k+1 while step k
+    runs); semantics are IDENTICAL to calling :func:`make_train_step` K times
+    with per-step rng folds.  Returns the final state and the (K,) losses.
+
+    The reference has no counterpart (per-step Python loop,
+    ``/root/reference/main.py:107``); this is a launch-overhead optimization,
+    not a semantic change.
+    """
+    step_fn = make_train_step(cfg, model, tx, crop=crop, remat=remat, mesh=mesh)
+
+    def multi_step(state: TrainState, images: Array, masks: Array, rng: Array):
+        keys = jax.random.split(rng, nsteps)
+
+        def body(carry, xs):
+            img, msk, key = xs
+            new_state, loss = step_fn(carry, img, msk, key)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (images, masks, keys))
+        return state, losses
+
+    return multi_step
 
 
 def tta_forward(model, variables, x: Array, use_tta: bool) -> Array:
