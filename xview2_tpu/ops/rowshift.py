@@ -63,17 +63,26 @@ def row_shift_pallas(x: Array, shift: Array, sel: Array, w: int, pad: int,
     """
     h, c, wp = x.shape
     assert wp == w + 2 * pad
-    bh = 8 if h % 8 == 0 else 1
+    # Mosaic requires the shift operand's sublane block (bh, 1) to have
+    # bh % 8 == 0 (or bh == h); pad rows up to a multiple of 8 with zero-shift
+    # zero rows (rows are independent) instead of degrading to bh=1, which
+    # fails TPU lowering (hit by _rotate_3shear's 654-row column pass).
+    hp = -(-h // 8) * 8
+    if hp != h:
+        x = jnp.pad(x, ((0, hp - h), (0, 0), (0, 0)))
+        shift = jnp.pad(shift, (0, hp - h))
+    bh = 8
     kernel = functools.partial(_kernel, w=w, pad=pad, bh=bh)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(h // bh,),
+        grid=(hp // bh,),
         in_specs=[
             pl.BlockSpec((bh, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((bh, c, wp), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bh, c, w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, c, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((hp, c, w), x.dtype),
         interpret=interpret,
-    )(shift.reshape(h, 1), sel.reshape(1, 1), x)
+    )(shift.reshape(hp, 1), sel.reshape(1, 1), x)
+    return out[:h] if hp != h else out
