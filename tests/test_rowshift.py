@@ -40,9 +40,11 @@ def _gather_ref(packed, shift, sel):
 @pytest.mark.parametrize("h", [32, 38])  # 38: rows not divisible by 8 — the
 # kernel must pad to a sublane multiple instead of degrading to a bh=1 block
 # (which Mosaic rejects; hit by _rotate_3shear's 654-row column pass on TPU)
-def test_rowshift_kernel_matches_gather(sel, c, h):
-    w = 32
-    rng = np.random.default_rng(sel * 10 + c + h)
+@pytest.mark.parametrize("w", [32, 54])  # 54: padded width 108 is not a lane
+# multiple — the kernel must widen to 128 lanes (Mosaic dynamic_rotate rejects
+# unaligned lanes; hit by _rotate_3shear's statically widened 654-wide passes)
+def test_rowshift_kernel_matches_gather(sel, c, h, w):
+    rng = np.random.default_rng(sel * 10 + c + h + w)
     packed = jnp.asarray(rng.normal(size=(h, w, c)) * 50 + 100, jnp.float32)
     shift = jnp.asarray(rng.uniform(-w // 2 + 1, w // 2 - 1, (h,)), jnp.float32)
     ref = _gather_ref(packed, shift, jnp.int32(sel))

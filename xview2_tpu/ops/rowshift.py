@@ -63,6 +63,15 @@ def row_shift_pallas(x: Array, shift: Array, sel: Array, w: int, pad: int,
     """
     h, c, wp = x.shape
     assert wp == w + 2 * pad
+    # Mosaic's dynamic lane rotate rejects unaligned lane widths ("unsupported
+    # unaligned shape", hit by _rotate_3shear's statically widened w=654 ->
+    # Wp=1308 pass on TPU): pad the lane dim up to a multiple of 128.  The
+    # extra zero lanes are invisible — for |shift| <= pad - 1 every read index
+    # j + pad + k of the rolled window stays in [0, w + 2*pad), so the rotate
+    # never wraps content through the padding.
+    wpa = -(-wp // 128) * 128
+    if wpa != wp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wpa - wp)))
     # Mosaic requires the shift operand's sublane block (bh, 1) to have
     # bh % 8 == 0 (or bh == h); pad rows up to a multiple of 8 with zero-shift
     # zero rows (rows are independent) instead of degrading to bh=1, which
@@ -79,7 +88,7 @@ def row_shift_pallas(x: Array, shift: Array, sel: Array, w: int, pad: int,
         in_specs=[
             pl.BlockSpec((bh, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
-            pl.BlockSpec((bh, c, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bh, c, wpa), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bh, c, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((hp, c, w), x.dtype),
