@@ -282,15 +282,29 @@ def _equalize_channel(ch: Array) -> Array:
     """PIL ImageOps.equalize for one uint8-valued channel.
 
     Histogram and LUT application are expressed as one-hot contractions —
-    scatter-add / gather lower to serialized ops on TPU, while the one-hot
-    forms are plain (N, 256) reductions/matmuls.
+    scatter-add / gather lower to serialized ops on TPU.  The flat (N, 256)
+    one-hot forms can't materialize for the dot, so XLA lowered both to
+    256-way select loops (~4 ms/step/op-slot in the cfg2 trace).  Decomposing
+    the 8-bit value as ``v = 16*hi + lo`` makes both stages dense MXU work on
+    two (N, 16) one-hots instead:
+
+    * histogram: ``hist2d = oh_hi^T @ oh_lo`` — a (16, N) x (N, 16) dot whose
+      h-major reshape is exactly the 256-bin histogram (f32 accumulation,
+      exact for counts <= 2^24);
+    * LUT apply: ``rows = oh_hi @ lut2d`` (one (N,16)x(16,16) dot selects each
+      pixel's 16-entry LUT row) then a 16-way masked sum picks the column.
+
+    Every product has a single nonzero 0/1 factor and LUT entries are
+    integers <= 255 (exactly representable in bf16), so the result is
+    bit-identical to the flat form.  Measured: the 256-way loops were ~25 ms
+    of config 2's 172 ms step at batch 16 (BASELINE.md round-3 ladder).
     """
     v = jnp.round(ch).astype(jnp.int32)
-    # bf16 one-hot halves the (N, 256) traffic and stays exact: entries are
-    # 0/1, the histogram accumulates in f32 (exact to 2^24), and the LUT
-    # contraction selects a single integer <= 255 (exact in bf16)
-    onehot = jax.nn.one_hot(v.reshape(-1), 256, dtype=jnp.bfloat16)  # (N, 256)
-    hist = jnp.sum(onehot, axis=0, dtype=jnp.float32).astype(jnp.int32)
+    oh_hi = jax.nn.one_hot((v // 16).reshape(-1), 16, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot((v % 16).reshape(-1), 16, dtype=jnp.bfloat16)
+    hist2d = jnp.einsum("ph,pl->hl", oh_hi, oh_lo,
+                        preferred_element_type=jnp.float32)
+    hist = hist2d.reshape(256).astype(jnp.int32)
     # PIL: step = (pixels - last nonzero bin count) // 255
     nonzero = hist > 0
     last_nz = 255 - jnp.argmax(nonzero[::-1])
@@ -299,9 +313,11 @@ def _equalize_channel(ch: Array) -> Array:
     csum = jnp.cumsum(hist)
     shifted = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
     lut = (shifted + step // 2) // jnp.maximum(step, 1)
-    lut = jnp.clip(lut, 0, 255).astype(jnp.bfloat16)
-    mapped = jnp.matmul(onehot, lut,
-                        preferred_element_type=jnp.float32).reshape(ch.shape)
+    lut2d = jnp.clip(lut, 0, 255).astype(jnp.bfloat16).reshape(16, 16)
+    rows = jnp.matmul(oh_hi, lut2d,
+                      preferred_element_type=jnp.bfloat16)  # (N, 16), exact
+    mapped = jnp.sum(rows * oh_lo, axis=-1,
+                     dtype=jnp.float32).reshape(ch.shape)
     return jnp.where(step > 0, mapped, ch)
 
 
