@@ -19,6 +19,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -42,7 +43,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main() -> None:
+def _run() -> dict:
     cfg = Config(type="pre", encoder="resnet50", precision=16,
                  loss_str="focal+dice", batch_size=BATCH)
     model = build_model(cfg)
@@ -66,12 +67,36 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     tiles_per_sec = BATCH * MEASURE_STEPS / dt
-    print(json.dumps({
+    return {
         "metric": "train_tiles1024_per_sec_per_chip",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_sec / EST_REF_TILES_PER_SEC, 3),
-    }))
+    }
+
+
+def main() -> None:
+    # Bounded retry on transient backend-init failures: round 3's driver
+    # capture was zeroed by a relay blip ("Unable to initialize backend
+    # 'axon': UNAVAILABLE" at first device use) even though the chip came
+    # back minutes later.  One cleared-backend retry after 60 s absorbs that
+    # class of outage without masking real errors.
+    attempts = 2
+    for attempt in range(attempts):
+        try:
+            result = _run()
+            break
+        except Exception as err:  # noqa: BLE001 - classify then re-raise
+            msg = str(err)
+            transient = "UNAVAILABLE" in msg or "initialize backend" in msg
+            if attempt + 1 < attempts and transient:
+                print(f"bench: transient backend failure ({msg.splitlines()[0]}); "
+                      "retrying in 60 s", file=sys.stderr, flush=True)
+                jax.extend.backend.clear_backends()
+                time.sleep(60)
+            else:
+                raise
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

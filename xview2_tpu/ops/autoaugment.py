@@ -64,6 +64,12 @@ _RANGES = {
     AUTOCONTRAST: np.zeros(10), EQUALIZE: np.zeros(10), INVERT: np.zeros(10),
 }
 
+# static magnitude ceilings (drive the Pallas-vs-XLA row-shift path choice —
+# the roll kernel's no-wrap precondition is checked against these bounds)
+_SHEAR_MAX = float(_RANGES[SHEAR_X].max())
+_TRANS_MAX = float(_RANGES[TRANS_X].max())
+_ROT_MAX = float(_RANGES[ROTATE].max())
+
 # the 25 ImageNet subpolicies: (p1, op1, m1, p2, op2, m2)
 _POLICIES_RAW = [
     (0.4, "posterize", 8, 0.6, "rotate", 9),
@@ -330,7 +336,8 @@ def _op_equalize(img: Array, _mag: Array) -> Array:
 # dispatch
 # --------------------------------------------------------------------------
 
-def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
+def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array,
+                    max_shift: float) -> Array:
     """Horizontal per-row fractional shift: out[i, x] = packed[i, x + shift[i]].
 
     ONE gather of H contiguous (W+1)-pixel slices from a zero-padded copy —
@@ -341,19 +348,23 @@ def _row_shift_pass(packed: Array, shift: Array, bilinear_sel: Array) -> Array:
     ``jnp.round``'s half-even, which alternated per pixel parity at exact .5
     fractions).  The mask channel (last) always takes the nearest tap; out of
     ``[0, w-1]`` source range is zero-filled.
+
+    ``max_shift`` is the caller's STATIC bound on ``max(|shift|)`` (from the
+    AutoAugment magnitude tables and the crop geometry).  The Pallas roll
+    kernel needs ``max_shift <= pad - 1`` with ``pad = w // 2`` or it would
+    silently wrap pixels in from the opposite edge; widths too small for that
+    (``--train_crop`` < ~24) take the XLA clip-gather path, which is correct
+    at any size.
     """
     h, w, c = packed.shape
+    assert max_shift >= 0.0, "max_shift is a magnitude bound"
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or force_pallas_interpret) and w >= 32:
+    pad = w // 2
+    if (on_tpu or force_pallas_interpret) and max_shift <= pad - 1:
         # Pallas kernel: dynamic lane roll in VMEM — the XLA slice-gather
         # below lowers to a serialized while loop (~10 ms per pass for a
         # batch of 8 512^2 tiles); the kernel runs at copy speed.
-        # The kernel's pad = w // 2 window requires |shift| < pad; the largest
-        # AutoAugment shift is translate's 0.453*w, which fits iff w >= 22
-        # (pltpu.roll would silently wrap pixels in from the opposite edge
-        # otherwise) — tiny --train_crop widths take the XLA path below.
         from xview2_tpu.ops.rowshift import row_shift_pallas
-        pad = w // 2
         x = jnp.swapaxes(packed, 1, 2)  # (H, C, W): W on lanes
         x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
         out = row_shift_pallas(x, shift,
@@ -409,12 +420,17 @@ def _rotate_3shear(packed: Array, mag: Array) -> Array:
     cxp = mx + (w - 1) / 2.0
 
     x1 = jnp.pad(packed, ((0, 0), (mx, mx), (0, 0)))
+    # static shift bounds at the table's 30-deg max: |a| <= tan(15 deg),
+    # |b| <= sin(30 deg) = 0.5 (see the mx overhang above)
+    max_a = float(np.tan(np.deg2rad(_ROT_MAX / 2.0))) * (h - 1) / 2.0
+    max_b = 0.5 * (mx + (w - 1) / 2.0)
     shift_a = a * (jnp.arange(h, dtype=jnp.float32) - cy)
-    x1 = _row_shift_pass(x1, shift_a, jnp.bool_(False))
+    x1 = _row_shift_pass(x1, shift_a, jnp.bool_(False), max_a)
     shift_b = b * (jnp.arange(wp, dtype=jnp.float32) - cxp)
     x2 = jnp.swapaxes(
-        _row_shift_pass(jnp.swapaxes(x1, 0, 1), shift_b, jnp.bool_(False)), 0, 1)
-    x3 = _row_shift_pass(x2, shift_a, jnp.bool_(False))
+        _row_shift_pass(jnp.swapaxes(x1, 0, 1), shift_b, jnp.bool_(False),
+                        max_b), 0, 1)
+    x3 = _row_shift_pass(x2, shift_a, jnp.bool_(False), max_a)
     return x3[:, mx:mx + w]
 
 
@@ -436,18 +452,20 @@ def _warp_packed(op: Array, mag: Array, img: Array, mask: Array
     packed = jnp.concatenate([img, mask.astype(img.dtype)[..., None]], axis=-1)
 
     # horizontal family: shear_x (src_x = x + m*y, bilinear) and trans_x
-    # (src_x = x + m*w, nearest)
+    # (src_x = x + m*w, nearest); static shift bound from the magnitude tables
     shift_x = jnp.where(op == SHEAR_X,
                         mag * jnp.arange(h, dtype=jnp.float32),
                         jnp.full((h,), mag * w, jnp.float32))
-    out_x = _row_shift_pass(packed, shift_x, op == SHEAR_X)
+    out_x = _row_shift_pass(packed, shift_x, op == SHEAR_X,
+                            max(_SHEAR_MAX * (h - 1), _TRANS_MAX * w))
 
     # vertical family: shear_y (src_y = y + m*x) and trans_y (src_y = y + m*h)
     shift_y = jnp.where(op == SHEAR_Y,
                         mag * jnp.arange(w, dtype=jnp.float32),
                         jnp.full((w,), mag * h, jnp.float32))
     out_y = jnp.swapaxes(
-        _row_shift_pass(jnp.swapaxes(packed, 0, 1), shift_y, op == SHEAR_Y), 0, 1)
+        _row_shift_pass(jnp.swapaxes(packed, 0, 1), shift_y, op == SHEAR_Y,
+                        max(_SHEAR_MAX * (w - 1), _TRANS_MAX * h)), 0, 1)
 
     if jax.default_backend() == "tpu" or force_pallas_interpret:
         # rotate as 3 shear passes through the row-shift kernel (copy speed);
