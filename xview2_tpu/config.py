@@ -99,7 +99,10 @@ class Config:
             raise ValueError(f"encoder must be one of {ENCODERS}, got {self.encoder!r}")
         if self.dilation not in DILATIONS:
             raise ValueError(f"dilation must be one of {DILATIONS}, got {self.dilation}")
-        if self.precision not in PRECISIONS:
+        # 64 is a test-only numerics instrument (parity below the fp32 noise
+        # floor; requires jax x64 mode) — valid on Config but not on the CLI,
+        # whose choices stay the reference's {16, 32} (main.py:34).
+        if self.precision not in PRECISIONS + (64,):
             raise ValueError(f"precision must be one of {PRECISIONS}, got {self.precision}")
         for term in self.loss_terms:
             if term not in LOSS_TERMS:
@@ -146,7 +149,9 @@ class Config:
     def compute_dtype(self):
         import jax.numpy as jnp
 
-        return jnp.bfloat16 if self.precision == 16 else jnp.float32
+        if self.precision == 16:
+            return jnp.bfloat16
+        return jnp.float64 if self.precision == 64 else jnp.float32
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -34,6 +34,14 @@ _SMOOTH_NR = 1e-5  # monai 0.4.0 DiceLoss defaults
 _SMOOTH_DR = 1e-5
 
 
+def _acc(logits: Array) -> Array:
+    """Upcast logits to the accumulation dtype: f32 floor (bf16 compute emits
+    bf16 logits; losses always reduce in >= f32), but float64 is preserved so
+    the precision-64 parity instrument (tests/test_train_step_parity.py) can
+    measure training numerics below the fp32 noise floor."""
+    return logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+
+
 def _ensure_mask(labels: Array, mask: Optional[Array]) -> Array:
     if mask is None:
         return jnp.ones(labels.shape, jnp.float32)
@@ -54,7 +62,7 @@ def dice_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Arr
     """
     n_class = logits.shape[-1]
     w = _ensure_mask(labels, mask)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.nn.softmax(_acc(logits), axis=-1)
     onehot = _one_hot(labels, n_class)
     if n_class == 2:
         probs = probs[..., 1:]
@@ -88,7 +96,7 @@ def focal_loss(logits: Array, labels: Array, mask: Optional[Array] = None, gamma
     """
     n_class = logits.shape[-1]
     w = _ensure_mask(labels, mask)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_acc(logits), axis=-1)
     logpt = _true_class_logp(logp, labels, n_class)
     pt = jnp.exp(logpt)
     per_pixel = -((1.0 - pt) ** gamma) * logpt
@@ -101,7 +109,7 @@ def ce_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Array
     """Masked mean cross-entropy (torch ``nn.CrossEntropyLoss`` semantics)."""
     n_class = logits.shape[-1]
     w = _ensure_mask(labels, mask)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_acc(logits), axis=-1)
     nll = -_true_class_logp(logp, labels, n_class)
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -109,7 +117,7 @@ def ce_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Array
 def mse_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Array:
     """Masked mean squared error on ``relu(logits[..., 0])`` (``loss.py:92-94``)."""
     w = _ensure_mask(labels, mask)
-    pred = jax.nn.relu(logits[..., 0].astype(jnp.float32))
+    pred = jax.nn.relu(_acc(logits)[..., 0])
     err = (pred - labels.astype(jnp.float32)) ** 2
     return jnp.sum(w * err) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -128,7 +136,7 @@ def coral_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Ar
     ``-sum_k[logsigmoid(x_k)*l_k + (logsigmoid(x_k)-x_k)*(1-l_k)]``.
     """
     w = _ensure_mask(labels, mask)
-    x = logits.astype(jnp.float32)
+    x = _acc(logits)
     # table lookup as one-hot matmul (avoids a per-pixel gather on TPU)
     onehot = jax.nn.one_hot(jnp.clip(labels, 0, 3), 4, dtype=jnp.float32)
     levels = onehot @ _CORAL_LEVELS  # (B,H,W,3)
@@ -154,7 +162,7 @@ def ohem_loss(logits: Array, labels: Array, mask: Optional[Array] = None) -> Arr
 
     n_class = logits.shape[-1]
     b = logits.shape[0]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_acc(logits), axis=-1)
     nll = -_true_class_logp(logp, labels, n_class)
     nll = nll.reshape(b, -1)
     pos = (labels > 0).reshape(b, -1)
