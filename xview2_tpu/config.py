@@ -85,6 +85,7 @@ class Config:
     pretrained_enc: Optional[str] = None  # .npz from tools/convert_weights.py (reference bakes pretrained=True, unet.py:45)
     raw_cache: Optional[str] = None  # dir for decoded raw-tile cache (skips PNG inflate after epoch 1)
     bgr: bool = False  # feed BGR pixels like the reference's cv2.imread (parity runs); default RGB
+    fold_eval_bn: bool = True  # eval-mode BN as a single folded affine (mathematically identical; see layers.fold_eval_bn_scope)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -227,6 +228,8 @@ def build_parser() -> ArgumentParser:
         help="Directory for a decoded raw-tile cache (epochs after the first skip PNG decode)")
     arg("--bgr", action="store_true",
         help="Feed BGR channel order as the reference does (cv2.imread); default is RGB")
+    arg("--fold_eval_bn", type=int, default=1, choices=[0, 1],
+        help="Fold eval-mode BatchNorm into a single fused affine (mathematically identical)")
     return parser
 
 

@@ -95,6 +95,37 @@ def remat_tail_active() -> bool:
     return _REMAT_TAIL.get()
 
 
+# ---------------------------------------------------------------------------
+# Eval-time BatchNorm folding (VERDICT r3 item 3).
+#
+# At eval the running stats are constants, so BN reduces to a per-channel
+# affine y = (x - mean) * mul + bias with mul = rsqrt(var + eps) * scale.
+# Under this scope eval-mode BN call sites skip flax ``nn.BatchNorm``'s
+# normalize graph and apply exactly that affine (+ the following activation)
+# from ``_BNStats``'s f32 fold vectors — one clean elementwise epilogue per
+# conv with no f32 pre-cast containers.  Mathematically identical to the
+# stock path (fp reassociation aside; the fold is computed in f32, stock
+# flax normalizes in the compute dtype).  Train-mode traces are unaffected.
+# Reference counterpart: eval BN of ``model/layers.py:96-99`` under
+# ``model.eval()``.
+_FOLD_EVAL_BN: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "xview2_fold_eval_bn", default=False)
+
+
+@contextlib.contextmanager
+def fold_eval_bn_scope(enabled: bool = True):
+    """Fold eval-mode BN into a single fused affine for traces in this scope."""
+    tok = _FOLD_EVAL_BN.set(enabled)
+    try:
+        yield
+    finally:
+        _FOLD_EVAL_BN.reset(tok)
+
+
+def fold_eval_bn_active(train: bool) -> bool:
+    return not train and _FOLD_EVAL_BN.get()
+
+
 class _BNStats(nn.Module):
     """BatchNorm statistics with an ``nn.BatchNorm``-compatible variable tree.
 
@@ -231,6 +262,9 @@ class ConvLayer(nn.Module):
         if remat_tail_active():
             fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
             return remat_norm_act(x, fold, "leaky")
+        if fold_eval_bn_active(train):
+            fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
+            return _norm_act(x, *fold, act="leaky")
         x = tag_bn(nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                                 epsilon=BN_EPS, dtype=self.dtype)(x))
         return leaky_relu(x)
@@ -282,6 +316,9 @@ class AttentionLayer(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        if fold_eval_bn_active(train):
+            fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
+            return _norm_act(x, *fold, act="none")
         return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                             epsilon=BN_EPS, dtype=self.dtype)(x)
 
@@ -355,9 +392,13 @@ class PPM(nn.Module):
             f = adaptive_avg_pool(x, (b, b))
             f = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=torch_conv_init,
                         dtype=self.dtype, name=f"reduce{i}")(f)
-            f = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, dtype=self.dtype, name=f"bn{i}")(f)
-            f = leaky_relu(f)
+            if fold_eval_bn_active(train):
+                fold = _BNStats(out_ch, name=f"bn{i}")(f, train)
+                f = _norm_act(f, *fold, act="leaky")
+            else:
+                f = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                                 epsilon=BN_EPS, dtype=self.dtype, name=f"bn{i}")(f)
+                f = leaky_relu(f)
             feats.append(interpolate_bilinear(f, (h, w)))
         out = jnp.concatenate(feats, axis=-1)  # 2 * in_ch
         return nn.Conv(in_ch, (1, 1), use_bias=True, kernel_init=torch_conv_init,
@@ -379,6 +420,9 @@ class ASPPModule(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size), padding=pad,
                     kernel_dilation=(self.dilation, self.dilation), use_bias=False,
                     kernel_init=kaiming_normal_init, dtype=self.dtype)(x)
+        if fold_eval_bn_active(train):
+            fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
+            return _norm_act(x, *fold, act="leaky")
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype)(x)
         return leaky_relu(x)

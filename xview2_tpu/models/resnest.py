@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _ConvKernel, tag_bn,
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, _ConvKernel,
+                                      _norm_act, fold_eval_bn_active, tag_bn,
                                       torch_conv_init)
 
 Array = jax.Array
@@ -54,6 +55,11 @@ RESNEST_STEM_WIDTH = {
 
 
 def _bn(dtype, train, name=None):
+    if fold_eval_bn_active(train):
+        def apply(x, _name=name):
+            fold = _BNStats(x.shape[-1], name=_name)(x, train)
+            return _norm_act(x, *fold, act="none")
+        return apply
     mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                        epsilon=BN_EPS, dtype=dtype, name=name)
     return lambda x: tag_bn(mod(x))

@@ -21,9 +21,10 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats,
-                                      remat_norm_act, remat_tail_active,
-                                      tag_bn, torch_conv_init)
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, _norm_act,
+                                      fold_eval_bn_active, remat_norm_act,
+                                      remat_tail_active, tag_bn,
+                                      torch_conv_init)
 
 Array = jax.Array
 Dtype = Any
@@ -48,6 +49,11 @@ def _bn(dtype, train, name=None, act=None):
         def apply(x, _name=name):
             fold = _BNStats(x.shape[-1], name=_name)(x, train)
             return remat_norm_act(x, fold, "relu" if act == "relu" else "none")
+        return apply
+    if fold_eval_bn_active(train):
+        def apply(x, _name=name):
+            fold = _BNStats(x.shape[-1], name=_name)(x, train)
+            return _norm_act(x, *fold, act="relu" if act == "relu" else "none")
         return apply
     mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                        epsilon=BN_EPS, dtype=dtype, name=name)

@@ -23,7 +23,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xview2_tpu.config import Config
-from xview2_tpu.models.layers import remat_tail_scope
+from xview2_tpu.models.layers import fold_eval_bn_scope, remat_tail_scope
 from xview2_tpu.models.unet import emits_packed_loss_view
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
@@ -251,7 +251,10 @@ def make_eval_step(cfg: Config, model, mesh: Optional[Mesh] = None):
                 images: Array, masks: Array, valid: Array):
         x = eval_batch(images, bgr=cfg.bgr)
         variables = {"params": params, "batch_stats": batch_stats}
-        logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
+        # contextvar read at trace time inside the module bodies (same
+        # pattern as remat_tail_scope in make_train_step)
+        with fold_eval_bn_scope(bool(cfg.fold_eval_bn)):
+            logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
         logits = relayout_standard(logits, mesh=mesh)  # see make_train_step
         loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)
         f1_state = update_f1_state(f1_state, logits, masks, n_class=n_class,
