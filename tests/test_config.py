@@ -70,3 +70,16 @@ def test_json_roundtrip():
     cfg = Config(type="post", dmg_model="fused", loss_str="coral", ppm=True)
     cfg2 = Config.from_json(cfg.to_json())
     assert cfg == cfg2
+
+
+def test_eval_tta_override_flag():
+    # eval-time TTA decoupling (--eval_tta): auto follows the checkpoint's
+    # --tta (reference Model.load_from_checkpoint), on/off force it
+    from xview2_tpu.config import parse_args
+    assert Config(type="pre").eval_tta == "auto"
+    assert parse_args(["--type", "pre", "--data", "d", "--eval_tta", "on"]).eval_tta == "on"
+    with pytest.raises(ValueError):
+        Config(type="pre", eval_tta="sometimes")
+    saved = Config(type="post", tta=False)
+    for mode, want in (("auto", False), ("on", True), ("off", False)):
+        assert {"auto": saved.tta, "on": True, "off": False}[mode] is want

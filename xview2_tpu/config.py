@@ -86,10 +86,13 @@ class Config:
     raw_cache: Optional[str] = None  # dir for decoded raw-tile cache (skips PNG inflate after epoch 1)
     bgr: bool = False  # feed BGR pixels like the reference's cv2.imread (parity runs); default RGB
     fold_eval_bn: bool = True  # eval-mode BN as a single folded affine (mathematically identical; see layers.fold_eval_bn_scope)
+    eval_tta: str = "auto"  # eval-mode TTA override: auto = checkpoint's --tta (reference Model.load_from_checkpoint behavior), on/off = force
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
             raise ValueError(f"exec_mode must be one of {EXEC_MODES}, got {self.exec_mode!r}")
+        if self.eval_tta not in ("auto", "on", "off"):
+            raise ValueError(f"eval_tta must be auto/on/off, got {self.eval_tta!r}")
         if self.type not in TASK_TYPES:
             raise ValueError(f"type must be one of {TASK_TYPES}, got {self.type!r}")
         if self.optimizer.lower() not in OPTIMIZERS:
@@ -230,6 +233,8 @@ def build_parser() -> ArgumentParser:
         help="Feed BGR channel order as the reference does (cv2.imread); default is RGB")
     arg("--fold_eval_bn", type=int, default=1, choices=[0, 1],
         help="Fold eval-mode BatchNorm into a single fused affine (mathematically identical)")
+    arg("--eval_tta", type=str, default="auto", choices=["auto", "on", "off"],
+        help="Eval-mode TTA: auto follows the checkpoint's --tta; on/off force it")
     return parser
 
 

@@ -202,6 +202,13 @@ def make_train_multistep(cfg: Config, model, tx: optax.GradientTransformation,
     The reference has no counterpart (per-step Python loop,
     ``/root/reference/main.py:107``); this is a launch-overhead optimization,
     not a semantic change.
+
+    EXPERIMENTAL — not wired into the trainer.  On the tunneled relay the
+    per-launch overhead turned out to be pipelined streaming, not dispatch
+    latency, so K-step batching recovered <1% (BASELINE.md round-3 ladder);
+    the builder is kept (tested in ``tests/test_multistep.py``) for real
+    multi-host deployments where launch overhead differs.  Wire it by
+    replacing the trainer's per-batch ``step()`` call with stacked K-batches.
     """
     step_fn = make_train_step(cfg, model, tx, crop=crop, remat=remat, mesh=mesh)
 

@@ -328,12 +328,17 @@ def test(cfg: Config) -> dict:
     assert cfg.ckpt is not None and ckpt_lib.checkpoint_exists(cfg.ckpt), \
         "No checkpoint found for evaluation"
     # model hyperparameters come from the checkpoint (Model.load_from_checkpoint,
-    # main.py:74); infra flags from the current CLI.
+    # main.py:74); infra flags from the current CLI.  TTA is an eval-time
+    # behavior, not an architecture knob (the variable tree is identical), so
+    # --eval_tta can override the checkpoint's --tta: "auto" keeps the
+    # reference-faithful restore, on/off force it (e.g. BASELINE config 5
+    # TTA-evals a checkpoint trained without --tta).
     saved = ckpt_lib.load_config(cfg.ckpt)
+    tta = {"auto": saved.tta, "on": True, "off": False}[cfg.eval_tta]
     cfg = saved.replace(exec_mode="eval", data=cfg.data, results=cfg.results,
                         gpus=cfg.gpus, num_workers=cfg.num_workers,
                         val_batch_size=cfg.val_batch_size, logname=cfg.logname,
-                        ckpt=cfg.ckpt)
+                        ckpt=cfg.ckpt, tta=tta, fold_eval_bn=cfg.fold_eval_bn)
     runner = Runner(cfg)
     payload, _ = ckpt_lib.restore_raw(cfg.ckpt)
     params = jax.device_put(payload["params"], runner.replicated)
