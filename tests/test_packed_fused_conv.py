@@ -1,0 +1,198 @@
+"""Parity tests for the fused packed conv+BN Pallas kernel
+(``ops/packed_fused_conv.py``), interpret mode on CPU.
+
+The kernel must reproduce the pure-XLA composition (prologue affine+leaky ->
+3x3 SAME conv -> f32 sums over the cast output) in both values and ALL
+gradients (input, kernel, and the fold vectors — the fold is a differentiable
+function of the previous layer's statistics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import xview2_tpu.ops.packed_fused_conv as pfc
+from xview2_tpu.ops.packed_fused_conv import (conv_bn_fused, reference_conv_bn,
+                                              supported)
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    pfc.INTERPRET = True
+    yield
+    pfc.INTERPRET = False
+
+
+def _case(seed, b=1, h=16, w=16, c=128, co=128, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
+    k = jnp.asarray(rng.normal(0, 0.1, size=(3, 3, c, co)), dtype)
+    fold = (jnp.asarray(rng.normal(0, 0.5, c), jnp.float32),
+            jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.5, c), jnp.float32))
+    return x, k, fold
+
+
+@pytest.mark.parametrize("has_fold", [False, True], ids=["nofold", "fold"])
+def test_forward_matches_reference(has_fold):
+    x, k, fold = _case(0)
+    ref = reference_conv_bn(x, k, fold if has_fold else None)
+    got = conv_bn_fused(x, k, fold, has_fold)
+    for name, r, g in zip(("out", "s1", "s2"), ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
+
+
+def test_forward_bf16():
+    x, k, fold = _case(1, dtype=jnp.bfloat16)
+    ref = reference_conv_bn(x, k, fold)
+    got = conv_bn_fused(x, k, fold, True)
+    np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                               np.asarray(ref[0], np.float32),
+                               rtol=2e-2, atol=2e-2)
+    for r, g in zip(ref[1:], got[1:]):
+        scale = max(abs(np.asarray(r)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-2, atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("has_fold", [False, True], ids=["nofold", "fold"])
+def test_gradients_match_reference(has_fold):
+    x, k, fold = _case(2, h=16, w=8, c=128, co=128)
+
+    def scalarize(fn):
+        def f(x_, k_, fold_):
+            out, s1, s2 = fn(x_, k_, fold_)
+            # mix all three outputs so every cotangent path is exercised
+            return (jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01))
+                    + jnp.sum(s1 * jnp.arange(s1.size)) + jnp.sum(s2 * 0.1))
+        return f
+
+    ref_f = scalarize(lambda x_, k_, f_: reference_conv_bn(
+        x_, k_, f_ if has_fold else None))
+    got_f = scalarize(lambda x_, k_, f_: conv_bn_fused(x_, k_, f_, has_fold))
+
+    ref_val, ref_grads = jax.value_and_grad(ref_f, argnums=(0, 1, 2))(x, k, fold)
+    got_val, got_grads = jax.value_and_grad(got_f, argnums=(0, 1, 2))(x, k, fold)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
+
+    names = ["dx", "dk", "dmean", "dmul", "dbias"]
+    ref_leaves = [ref_grads[0], ref_grads[1], *ref_grads[2]]
+    got_leaves = [got_grads[0], got_grads[1], *got_grads[2]]
+    for name, r, g in zip(names, ref_leaves, got_leaves):
+        if not has_fold and name in ("dmean", "dmul", "dbias"):
+            assert not np.any(np.asarray(g)), f"{name} must be zero without fold"
+            continue
+        scale = max(np.abs(np.asarray(r)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4 * scale, err_msg=name)
+
+
+def test_supported_predicate():
+    assert supported((4, 256, 256, 128), 128)
+    assert not supported((4, 256, 256, 64), 128)   # not lane-full
+    assert not supported((4, 250, 256, 128), 128)  # rows not 8-aligned
+    assert not supported((4, 256, 256), 128)
+
+
+# ---------------------------------------------------------------------------
+# model integration: PackedConvBlock under fused_tail_scope
+# ---------------------------------------------------------------------------
+
+def _block_case(train):
+    from xview2_tpu.models.layers import PackedConvBlock
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    block = PackedConvBlock(32, dtype=jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x, True)
+    # non-trivial stats/affine
+    variables = jax.tree.map(
+        lambda l: l + 0.1 * np.abs(np.asarray(l)).mean() if l.ndim else l, variables)
+    return block, variables, x
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "eval"])
+def test_block_fused_matches_stock(train):
+    """Same params, same input: fused chain == stock PackedConvBlock in
+    output, gradients, and updated batch statistics."""
+    from xview2_tpu.models.layers import fused_tail_scope
+    block, variables, x = _block_case(train)
+
+    def run(v, xin):
+        if train:
+            out, mut = block.apply(v, xin, True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return block.apply(v, xin, False), v["batch_stats"]
+
+    with fused_tail_scope(False):
+        want_out, want_bs = jax.jit(run)(variables, x)
+    with fused_tail_scope(True):
+        got_out, got_bs = jax.jit(run)(variables, x)
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=1e-4, atol=1e-4)
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(want_bs),
+            jax.tree_util.tree_leaves_with_path(got_bs)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_block_fused_gradients_match_stock():
+    from xview2_tpu.models.layers import fused_tail_scope
+    block, variables, x = _block_case(True)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def loss(p, xin):
+        out, _ = block.apply({"params": p, "batch_stats": bs}, xin, True,
+                             mutable=["batch_stats"])
+        return jnp.sum(out * jnp.sin(0.01 * jnp.arange(out.size).reshape(out.shape)))
+
+    with fused_tail_scope(False):
+        want = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+    with fused_tail_scope(True):
+        got = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(got)):
+        scale = max(np.abs(np.asarray(la)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fused_train_step_sharded():
+    """Full --fused_tail train step on the 8-device mesh: the Pallas call
+    runs under shard_map with psum'd BN sums (sync-BN), no replication."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.models.unet import build_model
+    from xview2_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          replicated)
+    from xview2_tpu.parallel.steps import init_train_state, make_train_step
+    from xview2_tpu.train.optimizers import build_optimizer
+
+    assert len(jax.devices()) == 8
+    cfg = Config(type="pre", encoder="resnet50", precision=32, gpus=8,
+                 fused_tail=True)
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    state = init_train_state(cfg, model, tx, jax.random.PRNGKey(0), (64, 64, 3))
+
+    mesh = make_mesh(8)
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(5)
+    images = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (8, 128, 128, 3), np.uint8)),
+        batch_sharding(mesh))
+    masks = jax.device_put(
+        jnp.asarray((rng.random((8, 128, 128)) > 0.9).astype(np.uint8)),
+        batch_sharding(mesh))
+
+    step = jax.jit(make_train_step(cfg, model, tx, crop=64, mesh=mesh))
+    new_state, loss = step(state, images, masks, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    old = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    new = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    assert not np.array_equal(old, new)

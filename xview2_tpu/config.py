@@ -87,6 +87,7 @@ class Config:
     bgr: bool = False  # feed BGR pixels like the reference's cv2.imread (parity runs); default RGB
     fold_eval_bn: bool = True  # eval-mode BN as a single folded affine (mathematically identical; see layers.fold_eval_bn_scope)
     eval_tta: str = "auto"  # eval-mode TTA override: auto = checkpoint's --tta (reference Model.load_from_checkpoint behavior), on/off = force
+    fused_tail: bool = False  # packed decoder tail via the fused Pallas conv+BN chain (ops/packed_fused_conv.py)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -235,6 +236,8 @@ def build_parser() -> ArgumentParser:
         help="Fold eval-mode BatchNorm into a single fused affine (mathematically identical)")
     arg("--eval_tta", type=str, default="auto", choices=["auto", "on", "off"],
         help="Eval-mode TTA: auto follows the checkpoint's --tta; on/off force it")
+    arg("--fused_tail", type=int, default=0, choices=[0, 1],
+        help="Run the packed decoder tail through the fused Pallas conv+BN chain")
     return parser
 
 

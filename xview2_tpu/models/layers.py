@@ -126,6 +126,36 @@ def fold_eval_bn_active(train: bool) -> bool:
     return not train and _FOLD_EVAL_BN.get()
 
 
+# ---------------------------------------------------------------------------
+# Fused packed-tail conv chain (VERDICT r3 item 2).
+#
+# Under this scope ``PackedConvBlock`` routes through the Pallas
+# conv+BN-prologue/epilogue kernel (``ops/packed_fused_conv.py``): each
+# chain layer reads the previous RAW conv output, applies its folded BN
+# affine + LeakyReLU inline, convolves, and emits the new conv output with
+# its BN sums — the separate stat-read and normalize+act passes between the
+# conv custom-call barriers disappear from HBM traffic.  The scope carries
+# the mesh so the Pallas call runs under shard_map with psum'd sums
+# (global-batch sync-BN) on multi-chip steps.  Variable trees are identical
+# to the stock path; numerics differ by float reassociation only.
+_FUSED_TAIL: contextvars.ContextVar = contextvars.ContextVar(
+    "xview2_fused_tail", default=(False, None))
+
+
+@contextlib.contextmanager
+def fused_tail_scope(enabled: bool = True, mesh=None):
+    """Route packed conv blocks through the fused Pallas chain in this scope."""
+    tok = _FUSED_TAIL.set((enabled, mesh))
+    try:
+        yield
+    finally:
+        _FUSED_TAIL.reset(tok)
+
+
+def fused_tail_state():
+    return _FUSED_TAIL.get()
+
+
 class _BNStats(nn.Module):
     """BatchNorm statistics with an ``nn.BatchNorm``-compatible variable tree.
 
@@ -748,6 +778,86 @@ class PackedGroupConvLayer(nn.Module):
         return leaky_relu(x)
 
 
+class _PackedBNSums(nn.Module):
+    """``_PackedBN`` fed by precomputed per-PACKED-channel sums.
+
+    Consumes the fused kernel's f32 ``(s1, s2)`` (sums over batch and space
+    of the cast conv output), folds the 4 phase copies per fine channel,
+    updates running stats, and returns the tiled (mean, mul, bias) fold —
+    exactly ``_PackedBN``'s statistics, reassociation aside.  Variable tree
+    identical to ``nn.BatchNorm`` (checkpoints interchange)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, s1: Array, s2: Array, n: int, train: bool = False):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
+        if train:
+            mean = s1.reshape(4, c).sum(0) / n
+            var = s2.reshape(4, c).sum(0) / n - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = jax.lax.rsqrt(var + BN_EPS) * scale
+        return jnp.tile(mean, 4), jnp.tile(mul, 4), jnp.tile(bias, 4)
+
+
+def _call_fused_conv(x: Array, wp: Array, fold, has_fold: bool, mesh):
+    """The fused Pallas conv, shard_mapped over the data axis on a mesh.
+
+    Each chip convolves its batch shard; the BN sums are psum'd so the
+    statistics are global-batch (sync-BN), matching the stock path's
+    GSPMD-reduced ``_PackedBN``.  On a 2-D mesh the body is unmapped over
+    ``space`` (same contract as ``steps._augment_batch``)."""
+    from xview2_tpu.ops.packed_fused_conv import conv_bn_fused
+
+    if mesh is None or mesh.size == 1:
+        return conv_bn_fused(x, wp, fold, has_fold)
+
+    from jax.sharding import PartitionSpec as P
+
+    from xview2_tpu.parallel.mesh import DATA_AXIS
+
+    spec, rep = P(DATA_AXIS), P()
+
+    def body(x_, wp_, fold_):
+        out, s1, s2 = conv_bn_fused(x_, wp_, fold_, has_fold)
+        return (out, jax.lax.psum(s1, DATA_AXIS), jax.lax.psum(s2, DATA_AXIS))
+
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(spec, rep, (rep, rep, rep)),
+                         out_specs=(spec, rep, rep), check_vma=False)(x, wp, fold)
+
+
+class _FusedPackedConvLayer(nn.Module):
+    """One fused-chain layer: param tree identical to ``PackedConvLayer``
+    (``Conv_0``/``BatchNorm_0``); compute routed through the Pallas fused
+    conv (prologue fold+act of the PREVIOUS layer, conv, BN-sum epilogue).
+
+    Takes and returns RAW conv outputs plus the fold to apply downstream."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xprev: Array, fold, has_fold: bool, n: int,
+                 train: bool, mesh):
+        ci = xprev.shape[-1] // 4
+        w = _ConvKernel((3, 3, ci, self.features), name="Conv_0")()
+        wp = s2d_conv_kernel(w).astype(self.dtype)
+        out, s1, s2 = _call_fused_conv(xprev.astype(self.dtype), wp, fold,
+                                       has_fold, mesh)
+        fold_out = _PackedBNSums(self.features, name="BatchNorm_0")(
+            s1, s2, n, train)
+        return out, fold_out
+
+
 class PackedConvBlock(nn.Module):
     """Two stacked PackedConvLayers (variable tree matches ``ConvBlock``)."""
 
@@ -756,6 +866,23 @@ class PackedConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        fused, mesh = fused_tail_state()
+        if fused and not remat_tail_active():
+            from xview2_tpu.ops.packed_fused_conv import supported
+            if supported(x.shape, 4 * self.features):
+                # per-fine-channel element count: GLOBAL shape (the module
+                # sees unsharded tracers under GSPMD; sums are psum'd global)
+                n = x.shape[0] * x.shape[1] * x.shape[2] * 4
+                zero = jnp.zeros((x.shape[-1],), jnp.float32)
+                out1, fold1 = _FusedPackedConvLayer(
+                    self.features, dtype=self.dtype, name="conv1")(
+                        x, (zero, zero, zero), False, n, train, mesh)
+                out2, fold2 = _FusedPackedConvLayer(
+                    self.features, dtype=self.dtype, name="conv2")(
+                        out1, fold1, True, n, train, mesh)
+                # the chain's final fold is applied as one elementwise pass
+                # (fusing it into the consuming 1x1 head is a follow-up)
+                return _norm_act(out2, *fold2, act="leaky")
         x = PackedConvLayer(self.features, dtype=self.dtype, name="conv1")(x, train)
         return PackedConvLayer(self.features, dtype=self.dtype, name="conv2")(x, train)
 

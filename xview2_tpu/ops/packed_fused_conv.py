@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: packed-domain 3x3 conv with fused BN epilogue/prologue.
+
+The s2d-packed decoder tail (``models/layers.PackedConvLayer``) runs
+conv3x3 -> BN -> LeakyReLU chains on lane-full (B, H, W, 128) maps.  With XLA
+convs those chains cost, per layer and per activation size S:
+
+    conv custom call:   read x (S) + write conv_out (S)
+    BN stat reduction:  read conv_out (S)
+    normalize + act:    read conv_out (S) + write act_out (S)
+
+because TPU convolutions are custom-call fusion barriers — XLA cannot fuse
+the stat reduction or the elementwise epilogue into them, and the round-3
+remat analysis (BASELINE.md) proved residual *elimination* between the
+barriers is byte-neutral.  This kernel removes the barrier instead: one
+Pallas pass reads the PREVIOUS layer's raw conv output, applies its folded
+BN affine + LeakyReLU inline (prologue), computes the 3x3 conv as a
+lane-full im2col GEMM (K = 9*128 — the regime the round-1 design note
+``ops/pallas_conv.py:23-29`` identified, unlike the failed C=32 fine-grid
+attempt), and emits the new conv output TOGETHER with its per-channel BN
+sums (s1, s2).  Per layer the separate stat-read pass and the entire
+normalize+act pass (2S read + 1S write) disappear from HBM traffic.
+
+Numerics are the production chain's exactly, modulo float reassociation:
+the prologue is ``layers._norm_act`` (affine in compute dtype from f32 fold
+vectors), the GEMM accumulates f32, the sums are taken over the *cast*
+output like ``layers._PackedBN`` (xf = bf16 out -> f32).
+
+The backward keeps XLA convs (they run at roofline; BASELINE.md round-2):
+a custom VJP recomputes the activated input once (byte-neutral — the wgrad
+conv needs it HBM-materialized anyway, the same argument that settled tail
+remat), transposes the conv with ``jax.linear_transpose``, and hand-chains
+the prologue gradient including the fold-vector cotangents (the fold comes
+from the previous layer's (s1, s2), so gradients must flow through it).
+
+Reference counterpart: the cuDNN conv+BN+ReLU of ``model/layers.py:89-100``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# set True (e.g. in tests) to run kernels through the Pallas interpreter,
+# which works on the CPU backend.
+INTERPRET = False
+
+HC = 8  # output rows per grid step (one f32 sublane tile)
+LEAKY_SLOPE = 0.01
+
+
+def _pad_input(x: Array) -> Array:
+    """(B, H, W, C) -> (B, H+8, W+8, C): halo at offset (1,1), tile-aligned."""
+    return jnp.pad(x, ((0, 0), (1, 7), (1, 7), (0, 0)))
+
+
+def _kernel(x0_ref, x1_ref, k_ref, mean_ref, mul_ref, bias_ref,
+            out_ref, s1_ref, s2_ref, *, w: int, c: int, co: int, fold: bool,
+            h: int):
+    """One (batch, row-block) step: prologue + im2col GEMM + stat sums."""
+    rows = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)  # (16, w+8, c)
+    if fold:
+        dt = rows.dtype
+        y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
+            + bias_ref[0].astype(dt)
+        rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+        # SAME padding pads the ACTIVATED map with zeros; the prologue just
+        # mapped the halo's padding zeros to act(bias - mean*mul) != 0, so
+        # zero the halo back (padded row r is real row r-1; valid 1..h, 1..w)
+        prow = pl.program_id(1) * HC + lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 0)
+        pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
+        valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
+        rows = jnp.where(valid, rows, jnp.zeros((), dt))
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
+    a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
+    acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+    out = acc.astype(out_ref.dtype)
+    out_ref[0] = out.reshape(HC, w, co)
+
+    # BN sums over the CAST output (matches _PackedBN: xf = out -> f32)
+    of = out.astype(jnp.float32)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        s1_ref[:, :] = jnp.zeros_like(s1_ref)
+        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+
+    s1_ref[0, :] += jnp.sum(of, axis=0)
+    s2_ref[0, :] += jnp.sum(of * of, axis=0)
+
+
+def _fwd_impl(xprev: Array, kmat: Array,
+              fold: Optional[Tuple[Array, Array, Array]]):
+    """xprev: (B, H, W, C); kmat: (9C, Co) tap-major rows (dy, dx, c)."""
+    b, h, w, c = xprev.shape
+    co = kmat.shape[1]
+    xp = _pad_input(xprev)
+    have_fold = fold is not None
+    if have_fold:
+        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+    else:
+        z = jnp.zeros((1, c), jnp.float32)
+        mean, mul, bias = z, z, z
+
+    blk = (1, HC, w + 8, c)
+    vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, w=w, c=c, co=co, fold=have_fold, h=h)
+    out, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(b, h // HC),
+        in_specs=[
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii + 1, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            vec, vec, vec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, co), xprev.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(xp, xp, kmat, mean, mul, bias)
+    return out, s1[0], s2[0]
+
+
+def _prologue(xprev: Array, fold) -> Array:
+    """The activated input the conv consumes (reference elementwise form)."""
+    if fold is None:
+        return xprev
+    mean, mul, bias = fold
+    dt = xprev.dtype
+    y = (xprev - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
+    return jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+
+
+def _conv(a: Array, kernel: Array) -> Array:
+    return lax.conv_general_dilated(
+        a, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_bn_fused(xprev: Array, kernel: Array, fold, has_fold: bool):
+    """Fused [fold+LeakyReLU prologue] + 3x3 SAME conv + BN-sum epilogue.
+
+    ``xprev``: (B, H, W, C) raw conv output of the previous layer (H % 8 == 0);
+    ``kernel``: (3, 3, C, Co) HWIO; ``fold``: per-PACKED-channel f32
+    ``(mean, mul, bias)`` vectors from the previous layer's BN, or a
+    3-tuple of zero vectors when ``has_fold`` is False (first layer of a
+    chain — the input is consumed as-is).
+
+    Returns ``(out, s1, s2)``: the conv output (x.dtype) plus its f32
+    per-channel sum and sum-of-squares (over batch and space), from which
+    the caller derives BN batch statistics exactly like ``_PackedBN``.
+    """
+    kmat = kernel.reshape(-1, kernel.shape[-1]).astype(xprev.dtype)
+    return _fwd_impl(xprev, kmat, fold if has_fold else None)
+
+
+def _vjp_fwd(xprev, kernel, fold, has_fold):
+    out, s1, s2 = conv_bn_fused(xprev, kernel, fold, has_fold)
+    return (out, s1, s2), (xprev, kernel, fold, out)
+
+
+def _vjp_bwd(has_fold, res, gs):
+    xprev, kernel, fold, out = res
+    g_out, g_s1, g_s2 = gs
+
+    # epilogue: s1 = sum(out_f32), s2 = sum(out_f32^2); cotangent folds back
+    # onto the conv output (cast back to the primal dtype, like autodiff of
+    # convert_element_type)
+    of = out.astype(jnp.float32)
+    g_conv = g_out + (g_s1[None, None, None, :]
+                      + 2.0 * of * g_s2[None, None, None, :]).astype(g_out.dtype)
+
+    a = _prologue(xprev, fold if has_fold else None)
+    k = kernel.astype(a.dtype)
+    # conv is bilinear: transpose each argument linearly (no forward re-run)
+    da = jax.linear_transpose(lambda t: _conv(t, k), a)(g_conv)[0]
+    dk = jax.linear_transpose(lambda t: _conv(a, t), k)(g_conv)[0]
+    dk = dk.astype(kernel.dtype)
+
+    if not has_fold:
+        zero = jax.tree.map(jnp.zeros_like, fold)
+        return da, dk, zero
+
+    mean, mul, bias = fold
+    dt = xprev.dtype
+    y = (xprev - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
+    gate = jnp.where(y >= 0, jnp.ones((), dt), jnp.asarray(LEAKY_SLOPE, dt))
+    dy = da * gate
+    dxprev = dy * mul.astype(dt)
+    dyf = dy.astype(jnp.float32)
+    dbias = jnp.sum(dyf, axis=(0, 1, 2))
+    dmul = jnp.sum(dyf * (xprev - mean.astype(dt)).astype(jnp.float32),
+                   axis=(0, 1, 2))
+    dmean = -dbias * mul
+    return dxprev, dk, (dmean, dmul, dbias)
+
+
+conv_bn_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def reference_conv_bn(xprev: Array, kernel: Array, fold) -> Tuple[Array, Array, Array]:
+    """Pure-XLA composition with identical semantics (oracle for tests; also
+    the numerics the production PackedConvLayer path realizes)."""
+    a = _prologue(xprev, fold)
+    out = _conv(a, kernel.astype(a.dtype)).astype(xprev.dtype)
+    of = out.astype(jnp.float32)
+    return out, jnp.sum(of, axis=(0, 1, 2)), jnp.sum(of * of, axis=(0, 1, 2))
+
+
+def supported(x_shape: Tuple[int, ...], c_out: int) -> bool:
+    """Static eligibility: lane-full packed maps with 8-aligned rows."""
+    if len(x_shape) != 4:
+        return False
+    _, h, w, c = x_shape
+    return (c % 128 == 0 and c_out % 128 == 0 and h % HC == 0 and h >= 16
+            and w >= 8)

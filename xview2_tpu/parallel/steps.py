@@ -23,7 +23,8 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xview2_tpu.config import Config
-from xview2_tpu.models.layers import fold_eval_bn_scope, remat_tail_scope
+from xview2_tpu.models.layers import (fold_eval_bn_scope, fused_tail_scope,
+                                      remat_tail_scope)
 from xview2_tpu.models.unet import emits_packed_loss_view
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
@@ -173,7 +174,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         else:
             y = y_main = rl(y)
 
-        with remat_tail_scope(remat == "tail"):
+        with remat_tail_scope(remat == "tail"), \
+                fused_tail_scope(bool(cfg.fused_tail), mesh):
             (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
                 state.params, state.batch_stats, x, y, y_main)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
