@@ -196,3 +196,78 @@ def test_fused_train_step_sharded():
     old = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     new = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
     assert not np.array_equal(old, new)
+
+
+# ---------------------------------------------------------------------------
+# fused 1x1 head (deferred final fold)
+# ---------------------------------------------------------------------------
+
+def test_head_forward_and_grads_match_reference():
+    from xview2_tpu.ops.packed_fused_conv import head_conv_fused, reference_head
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    kmat = jnp.asarray(rng.normal(0, 0.1, size=(128, 8)), jnp.float32)
+    hbias = jnp.asarray(rng.normal(0, 0.1, size=(8,)), jnp.float32)
+    fold = (jnp.asarray(rng.normal(0, 0.5, 128), jnp.float32),
+            jnp.asarray(rng.uniform(0.5, 1.5, 128), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.5, 128), jnp.float32))
+
+    def scalarize(fn):
+        def f(x_, k_, b_, f_):
+            out = fn(x_, k_, b_, f_)
+            return jnp.sum(out * jnp.cos(0.01 * jnp.arange(out.size).reshape(out.shape)))
+        return f
+
+    ref_v, ref_g = jax.value_and_grad(scalarize(reference_head),
+                                      argnums=(0, 1, 2, 3))(x, kmat, hbias, fold)
+    got_v, got_g = jax.value_and_grad(scalarize(head_conv_fused),
+                                      argnums=(0, 1, 2, 3))(x, kmat, hbias, fold)
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(ref_g),
+                                 jax.tree_util.tree_leaves_with_path(got_g)):
+        scale = max(np.abs(np.asarray(la)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-4, atol=1e-4 * scale,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.parametrize("ds", [False, True], ids=["plain", "deepsup"])
+def test_unetloc_fused_defer_matches_stock(ds):
+    """Whole UNetLoc train forward+grads: --fused_tail with the deferred head
+    (the activated dec5 never materializes) vs the stock packed path."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.models.layers import fused_tail_scope
+    from xview2_tpu.models.unet import UNetLoc, fused_head_defer_ok
+
+    cfg = Config(type="pre", encoder="resnet50", precision=32,
+                 deep_supervision=ds)
+    assert fused_head_defer_ok(cfg)
+    model = UNetLoc(cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def loss(p, xin):
+        outs, mut = model.apply({"params": p, "batch_stats": bs}, xin, True,
+                                mutable=["batch_stats"])
+        outs = outs if isinstance(outs, list) else [outs]
+        total = sum(jnp.sum(o * jnp.sin(0.01 * jnp.arange(o.size).reshape(o.shape)))
+                    for o in outs)
+        return total, mut["batch_stats"]
+
+    with fused_tail_scope(False):
+        (want_v, want_bs), want_g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(params, x)
+    with fused_tail_scope(True, defer_head=True):
+        (got_v, got_bs), got_g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(params, x)
+
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-4)
+    for tree_w, tree_g in ((want_g, got_g), (want_bs, got_bs)):
+        for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(tree_w),
+                                     jax.tree_util.tree_leaves_with_path(tree_g)):
+            scale = max(np.abs(np.asarray(la)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=3e-4, atol=3e-4 * scale,
+                                       err_msg=jax.tree_util.keystr(pa))

@@ -139,17 +139,29 @@ def fold_eval_bn_active(train: bool) -> bool:
 # (global-batch sync-BN) on multi-chip steps.  Variable trees are identical
 # to the stock path; numerics differ by float reassociation only.
 _FUSED_TAIL: contextvars.ContextVar = contextvars.ContextVar(
-    "xview2_fused_tail", default=(False, None))
+    "xview2_fused_tail", default=(False, None, None))
 
 
 @contextlib.contextmanager
-def fused_tail_scope(enabled: bool = True, mesh=None):
-    """Route packed conv blocks through the fused Pallas chain in this scope."""
-    tok = _FUSED_TAIL.set((enabled, mesh))
+def fused_tail_scope(enabled: bool = True, mesh=None, defer_head: bool = False):
+    """Route packed conv blocks through the fused Pallas chain in this scope.
+
+    With ``defer_head`` (only valid when dec5 flows to a single-branch packed
+    head unchanged — ``unet.fused_head_defer_ok``), the chain's FINAL fold is
+    not applied as an elementwise pass either: the block returns the raw conv
+    output and registers its fold in a per-trace registry, and the packed 1x1
+    head consumes it via ``head_conv_fused`` — the activated dec5 map never
+    touches HBM."""
+    reg = {} if (enabled and defer_head) else None
+    tok = _FUSED_TAIL.set((enabled, mesh, reg))
     try:
-        yield
+        yield reg
     finally:
         _FUSED_TAIL.reset(tok)
+    if reg:
+        raise AssertionError(
+            "fused-tail deferred fold was never consumed by a packed head; "
+            "defer_head is only valid for single-branch packed-head variants")
 
 
 def fused_tail_state():
@@ -866,7 +878,7 @@ class PackedConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        fused, mesh = fused_tail_state()
+        fused, mesh, reg = fused_tail_state()
         if fused and not remat_tail_active():
             from xview2_tpu.ops.packed_fused_conv import supported
             if supported(x.shape, 4 * self.features):
@@ -880,8 +892,11 @@ class PackedConvBlock(nn.Module):
                 out2, fold2 = _FusedPackedConvLayer(
                     self.features, dtype=self.dtype, name="conv2")(
                         out1, fold1, True, n, train, mesh)
-                # the chain's final fold is applied as one elementwise pass
-                # (fusing it into the consuming 1x1 head is a follow-up)
+                if reg is not None:
+                    # defer the final fold into the packed head (the stored
+                    # tracer also pins its id against reuse)
+                    reg[id(out2)] = (out2, fold2)
+                    return out2
                 return _norm_act(out2, *fold2, act="leaky")
         x = PackedConvLayer(self.features, dtype=self.dtype, name="conv1")(x, train)
         return PackedConvLayer(self.features, dtype=self.dtype, name="conv2")(x, train)
@@ -900,7 +915,12 @@ class _ConvTKernel(nn.Module):
 
 
 class _PackedHead(nn.Module):
-    """1x1 output head in the packed domain (params match ``nn.Conv`` fine)."""
+    """1x1 output head in the packed domain (params match ``nn.Conv`` fine).
+
+    With ``fold`` (the deferred BN fold of the raw dec5 input, see
+    ``fused_tail_scope(defer_head=True)``) the head runs as the fused Pallas
+    prologue+GEMM (``ops/packed_fused_conv.head_conv_fused``): the activated
+    map never materializes."""
 
     fine_in: int
     head_n: int
@@ -909,16 +929,40 @@ class _PackedHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, fold=None, mesh=None) -> Array:
         kernel = self.param("kernel", torch_conv_init, (1, 1, self.fine_in, self.head_n))
         wp = s2d_head_kernel(kernel, self.groups).astype(self.dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.head_n,))
+                if self.use_bias else None)
+        if fold is not None:
+            kmat = wp.reshape(wp.shape[2], wp.shape[3])
+            hbias = (jnp.tile(bias, 4) if bias is not None
+                     else jnp.zeros((wp.shape[3],), jnp.float32))
+            return _call_fused_head(x.astype(self.dtype), kmat, hbias, fold, mesh)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.head_n,))
+        if bias is not None:
             out = out + jnp.tile(bias, 4).astype(out.dtype)
         return out
+
+
+def _call_fused_head(x: Array, kmat: Array, hbias: Array, fold, mesh):
+    """``head_conv_fused``, shard_mapped over the data axis on a mesh (the
+    op is per-sample; no collective)."""
+    from xview2_tpu.ops.packed_fused_conv import head_conv_fused
+
+    if mesh is None or mesh.size == 1:
+        return head_conv_fused(x, kmat, hbias, fold)
+
+    from jax.sharding import PartitionSpec as P
+
+    from xview2_tpu.parallel.mesh import DATA_AXIS
+
+    spec, rep = P(DATA_AXIS), P()
+    return jax.shard_map(head_conv_fused, mesh=mesh,
+                         in_specs=(spec, rep, rep, (rep, rep, rep)),
+                         out_specs=spec, check_vma=False)(x, kmat, hbias, fold)
 
 
 def _coral_bias_init(key, shape, dtype=jnp.float32):
@@ -967,9 +1011,12 @@ class OutputBlock(nn.Module):
         assert not self.interpolate, "--interpolate has no decoder to pack"
         fine_in = x.shape[-1] // 4
         head_n = 1 if self.n_class == 3 else self.n_class  # CORAL: single logit
+        _, mesh, reg = fused_tail_state()
+        ent = reg.pop(id(x), None) if reg is not None else None
+        fold = ent[1] if (ent is not None and ent[0] is x) else None
         out = _PackedHead(fine_in=fine_in, head_n=head_n, use_bias=self.n_class != 3,
                           groups=self.packed_groups, dtype=self.dtype,
-                          name="conv")(x)
+                          name="conv")(x, fold=fold, mesh=mesh)
         if train and self.emit_loss_view:
             # (B,H,W,4n) -> (B,H,4W,n): merge the phase blocks into W — a
             # bitcast, not a transpose.  The losses are pixel-permutation

@@ -106,6 +106,18 @@ def emits_packed_loss_view(cfg: Config) -> bool:
         return not cfg.dec_interp
     return _tail_packed(cfg)
 
+
+def fused_head_defer_ok(cfg: Config) -> bool:
+    """True when the fused packed chain (``--fused_tail``) may defer dec5's
+    final BN fold into the packed head (``fused_tail_scope(defer_head=True)``):
+    the head must consume dec5 *unchanged* as a single packed branch — every
+    variant except siamese/fused/parallel, whose heads consume a cross-branch
+    concat of two chain outputs."""
+    if not _tail_packed(cfg):
+        return False
+    return cfg.type == "pre" or cfg.dmg_model not in ("siamese", "fused", "parallel")
+
+
 class UNetTemplate(nn.Module):
     """Shared encoder + optional PPM/ASPP bottleneck + decoder
     (reference ``unet.py:113-172``).  Returns ``(dec5, dec4, dec3)``, or

@@ -218,6 +218,94 @@ def _vjp_bwd(has_fold, res, gs):
 conv_bn_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _head_kernel(x_ref, k_ref, mean_ref, mul_ref, bias_ref, hb_ref, out_ref,
+                 *, w: int, c: int, co: int):
+    """1x1 head block: prologue fold+act + GEMM + bias (no halo, no stats)."""
+    rows = x_ref[0]  # (HC, w, c)
+    dt = rows.dtype
+    y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
+        + bias_ref[0].astype(dt)
+    rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+    a = rows.reshape(HC * w, c)
+    acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+    out = acc.astype(out_ref.dtype) + hb_ref[0].astype(out_ref.dtype)
+    out_ref[0] = out.reshape(HC, w, co)
+
+
+def _head_fwd_impl(x: Array, kmat: Array, hbias: Array, fold) -> Array:
+    b, h, w, c = x.shape
+    co = kmat.shape[1]
+    mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+    vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_head_kernel, w=w, c=c, co=co)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // HC),
+        in_specs=[
+            pl.BlockSpec((1, HC, w, c), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            vec, vec, vec,
+            pl.BlockSpec((1, co), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        interpret=INTERPRET,
+    )(x, kmat, mean, mul, bias, hbias.reshape(1, co).astype(jnp.float32))
+
+
+@jax.custom_vjp
+def head_conv_fused(x: Array, kmat: Array, hbias: Array, fold) -> Array:
+    """Fused [fold+LeakyReLU prologue] + 1x1 head GEMM + bias.
+
+    ``x``: (B, H, W, C) raw conv output of the chain's last layer; ``kmat``:
+    (C, Co) packed head matrix; ``hbias``: (Co,) packed bias (zeros when the
+    head has none); ``fold``: the last layer's (mean, mul, bias).  Replaces
+    the chain-final ``_norm_act`` pass + packed 1x1 conv: the activated map
+    never touches HBM.  Matches ``_PackedHead`` (conv in compute dtype, bias
+    added post-cast) modulo f32 GEMM accumulation.
+    """
+    return _head_fwd_impl(x, kmat.astype(x.dtype), hbias, fold)
+
+
+def _head_vjp_fwd(x, kmat, hbias, fold):
+    return head_conv_fused(x, kmat, hbias, fold), (x, kmat, hbias, fold)
+
+
+def _head_vjp_bwd(res, g):
+    x, kmat, hbias, fold = res
+    a = _prologue(x, fold)
+    k = kmat.astype(a.dtype)
+    da = lax.dot_general(g, k, (((3,), (1,)), ((), ())))  # (B,H,W,C)
+    dkmat = lax.dot_general(a, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    dhbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+
+    mean, mul, bias = fold
+    dt = x.dtype
+    y = (x - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
+    gate = jnp.where(y >= 0, jnp.ones((), dt), jnp.asarray(LEAKY_SLOPE, dt))
+    dy = da * gate
+    dx = dy * mul.astype(dt)
+    dyf = dy.astype(jnp.float32)
+    dbias = jnp.sum(dyf, axis=(0, 1, 2))
+    dmul = jnp.sum(dyf * (x - mean.astype(dt)).astype(jnp.float32), axis=(0, 1, 2))
+    dmean = -dbias * mul
+    return (dx, dkmat.astype(kmat.dtype), dhbias.astype(hbias.dtype),
+            (dmean, dmul, dbias))
+
+
+def reference_head(x: Array, kmat: Array, hbias: Array, fold) -> Array:
+    """Pure-XLA oracle: prologue -> 1x1 GEMM in compute dtype -> cast+bias."""
+    a = _prologue(x, fold)
+    out = lax.dot_general(a, kmat.astype(a.dtype), (((3,), (0,)), ((), ())))
+    return out.astype(x.dtype) + hbias.astype(x.dtype)
+
+
+head_conv_fused.defvjp(_head_vjp_fwd, _head_vjp_bwd)
+
+
 def reference_conv_bn(xprev: Array, kernel: Array, fold) -> Tuple[Array, Array, Array]:
     """Pure-XLA composition with identical semantics (oracle for tests; also
     the numerics the production PackedConvLayer path realizes)."""

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from xview2_tpu.config import Config
 from xview2_tpu.models.layers import (fold_eval_bn_scope, fused_tail_scope,
                                       remat_tail_scope)
-from xview2_tpu.models.unet import emits_packed_loss_view
+from xview2_tpu.models.unet import emits_packed_loss_view, fused_head_defer_ok
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
 from xview2_tpu.ops.losses import (deep_supervision_loss, make_loss_fn,
@@ -175,7 +175,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             y = y_main = rl(y)
 
         with remat_tail_scope(remat == "tail"), \
-                fused_tail_scope(bool(cfg.fused_tail), mesh):
+                fused_tail_scope(bool(cfg.fused_tail), mesh,
+                                 defer_head=fused_head_defer_ok(cfg)):
             (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
                 state.params, state.batch_stats, x, y, y_main)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
