@@ -271,3 +271,69 @@ def test_unetloc_fused_defer_matches_stock(ds):
             np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                        rtol=3e-4, atol=3e-4 * scale,
                                        err_msg=jax.tree_util.keystr(pa))
+
+
+def test_siamese_fused_defer_matches_stock():
+    """Two-branch variant: the dec5 branch concat propagates the deferred
+    folds (layers.concat_registered) into the groups=2 packed head."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.models.layers import fused_tail_scope
+    from xview2_tpu.models.unet import build_model, fused_head_defer_ok
+
+    cfg = Config(type="post", dmg_model="siamese", encoder="resnet50",
+                 precision=32, loss_str="focal+dice")
+    assert fused_head_defer_ok(cfg)
+    model = build_model(cfg)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 6)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, True)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def loss(p, xin):
+        out, mut = model.apply({"params": p, "batch_stats": bs}, xin, True,
+                               mutable=["batch_stats"])
+        return jnp.sum(out * jnp.sin(0.01 * jnp.arange(out.size).reshape(out.shape))), \
+            mut["batch_stats"]
+
+    with fused_tail_scope(False):
+        (want_v, want_bs), want_g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(params, x)
+    with fused_tail_scope(True, defer_head=True):
+        (got_v, got_bs), got_g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(params, x)
+
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-4)
+    for tree_w, tree_g in ((want_g, got_g), (want_bs, got_bs)):
+        for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(tree_w),
+                                     jax.tree_util.tree_leaves_with_path(tree_g)):
+            scale = max(np.abs(np.asarray(la)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=3e-4, atol=3e-4 * scale,
+                                       err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fused_variant_keeps_nondeferred_chain():
+    """dmg_model=fused: defer must be refused (FusionBlock's concat is not
+    fold-propagating) but the non-deferred fused chain must still run."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.models.layers import fused_tail_scope
+    from xview2_tpu.models.unet import build_model, fused_head_defer_ok
+
+    cfg = Config(type="post", dmg_model="fused", encoder="resnet50",
+                 precision=32, loss_str="focal+dice")
+    assert not fused_head_defer_ok(cfg)
+    model = build_model(cfg)
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 6)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x, True)
+
+    def run(v, xin):
+        out, _ = model.apply(v, xin, True, mutable=["batch_stats"])
+        return out
+
+    with fused_tail_scope(False):
+        want = jax.jit(run)(variables, x)
+    with fused_tail_scope(True, defer_head=False):
+        got = jax.jit(run)(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

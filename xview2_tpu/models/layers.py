@@ -168,6 +168,33 @@ def fused_tail_state():
     return _FUSED_TAIL.get()
 
 
+def concat_registered(a: Array, b: Array) -> Array:
+    """Channel concat that propagates deferred folds (``fused_tail_scope``).
+
+    The siamese/parallel variants concatenate their two branch dec5 maps
+    before the packed head; when BOTH operands carry registered folds the
+    concat re-registers with channel-concatenated fold vectors (the prologue
+    affine is per-channel, so this is exact), letting the fused head consume
+    the two-branch concat too.  Plain ``jnp.concatenate`` otherwise."""
+    out = jnp.concatenate([a, b], axis=-1)
+    _, _, reg = fused_tail_state()
+    if reg is not None:
+        ea = reg.get(id(a))
+        eb = reg.get(id(b))
+        ok_a = ea is not None and ea[0] is a
+        ok_b = eb is not None and eb[0] is b
+        if ok_a and ok_b:
+            del reg[id(a)], reg[id(b)]
+            fold = tuple(jnp.concatenate([fa, fb])
+                         for fa, fb in zip(ea[1], eb[1]))
+            reg[id(out)] = (out, fold)
+        elif ok_a or ok_b:
+            raise AssertionError(
+                "asymmetric deferred folds at a branch concat; defer_head "
+                "requires both branches to end in fused packed chains")
+    return out
+
+
 class _BNStats(nn.Module):
     """BatchNorm statistics with an ``nn.BatchNorm``-compatible variable tree.
 

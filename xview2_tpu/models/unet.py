@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from xview2_tpu.config import Config
 from xview2_tpu.models.encoder import encoder_channels, make_encoder_stages
-from xview2_tpu.models.layers import ASPP, PPM, FusionBlock, OutputBlock, UpsampleBlock
+from xview2_tpu.models.layers import (ASPP, PPM, FusionBlock, OutputBlock,
+                                      UpsampleBlock, concat_registered)
 
 Array = jax.Array
 
@@ -109,13 +110,16 @@ def emits_packed_loss_view(cfg: Config) -> bool:
 
 def fused_head_defer_ok(cfg: Config) -> bool:
     """True when the fused packed chain (``--fused_tail``) may defer dec5's
-    final BN fold into the packed head (``fused_tail_scope(defer_head=True)``):
-    the head must consume dec5 *unchanged* as a single packed branch — every
-    variant except siamese/fused/parallel, whose heads consume a cross-branch
-    concat of two chain outputs."""
+    final BN fold into the packed head (``fused_tail_scope(defer_head=True)``).
+
+    The head must receive dec5 either unchanged (single-branch variants) or
+    as a branch concat whose folds ``layers.concat_registered`` propagates
+    (siamese/parallel).  Only ``fused`` is excluded: its last decoder stage is
+    the cross-fused ``PackedGroupConvLayer`` inside FusionBlock, which does
+    not emit deferred folds."""
     if not _tail_packed(cfg):
         return False
-    return cfg.type == "pre" or cfg.dmg_model not in ("siamese", "fused", "parallel")
+    return cfg.type == "pre" or cfg.dmg_model != "fused"
 
 
 class UNetTemplate(nn.Module):
@@ -213,7 +217,7 @@ def _split_pair(data: Array) -> Tuple[Array, Array]:
 def _concat(x: Optional[Array], y: Optional[Array]) -> Optional[Array]:
     if x is None or y is None:
         return None
-    return jnp.concatenate([x, y], axis=-1)
+    return concat_registered(x, y)
 
 
 class SiameseUNet(nn.Module):
