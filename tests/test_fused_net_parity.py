@@ -26,8 +26,6 @@ from tools.convert_weights import convert_resnet
 from xview2_tpu.config import Config
 from xview2_tpu.models.unet import FusedUNet
 
-torch.manual_seed(13)
-
 ENCF = [64, 256, 512, 1024, 2048]
 DECF = [512, 256, 128, 64, 32]
 
@@ -122,6 +120,7 @@ def convert_fused(t: TFusedUNet):
 
 
 def test_fused_unet_matches_torch():
+    torch.manual_seed(13)  # in-test: module-level seeding is not suite-hermetic
     t = TFusedUNet().eval()
     x = torch.randn(1, 6, 96, 96)
     with torch.no_grad():

@@ -56,8 +56,18 @@ def test_forward_bf16():
                                    rtol=2e-2, atol=2e-2 * scale)
 
 
+@pytest.mark.parametrize("bwd", ["pallas", "xla"])
 @pytest.mark.parametrize("has_fold", [False, True], ids=["nofold", "fold"])
-def test_gradients_match_reference(has_fold):
+def test_gradients_match_reference(has_fold, bwd):
+    old = pfc.BWD_PALLAS
+    pfc.BWD_PALLAS = bwd == "pallas"
+    try:
+        _grad_case(has_fold)
+    finally:
+        pfc.BWD_PALLAS = old
+
+
+def _grad_case(has_fold):
     x, k, fold = _case(2, h=16, w=8, c=128, co=128)
 
     def scalarize(fn):
@@ -337,3 +347,41 @@ def test_fused_variant_keeps_nondeferred_chain():
         got = jax.jit(run)(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_eval_step_tta_sharded_matches_stock():
+    """make_eval_step with --fused_tail at eval (folds from running stats),
+    stacked 4-flip TTA, on the 8-device mesh: logits match the stock path."""
+    from xview2_tpu.config import Config
+    from xview2_tpu.models.unet import build_model
+    from xview2_tpu.ops.metrics import init_f1_state
+    from xview2_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          replicated, sample_sharding)
+    from xview2_tpu.parallel.steps import init_train_state, make_eval_step
+    from xview2_tpu.train.optimizers import build_optimizer
+
+    mesh = make_mesh(8)
+    base = Config(type="pre", encoder="resnet50", precision=32, gpus=8,
+                  tta=True)
+    model = build_model(base)
+    tx = build_optimizer(base, base.lr)
+    state = init_train_state(base, model, tx, jax.random.PRNGKey(0), (64, 64, 3))
+    rng = np.random.default_rng(23)
+    images = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), np.uint8)),
+        batch_sharding(mesh))
+    masks = jax.device_put(
+        jnp.asarray((rng.random((8, 64, 64)) > 0.9).astype(np.uint8)),
+        batch_sharding(mesh))
+    valid = jax.device_put(jnp.ones((8,), jnp.float32), sample_sharding(mesh))
+    f1 = jax.device_put(init_f1_state(base.n_metric_class), replicated(mesh))
+    params = jax.device_put(state.params, replicated(mesh))
+    bs = jax.device_put(state.batch_stats, replicated(mesh))
+
+    outs = {}
+    for fused in (False, True):
+        cfg = base.replace(fused_tail=fused)
+        estep = jax.jit(make_eval_step(cfg, model, mesh=mesh))
+        _, _, logits = estep(params, bs, f1, images, masks, valid)
+        outs[fused] = np.asarray(logits)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4, atol=2e-4)

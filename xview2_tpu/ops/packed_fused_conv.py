@@ -156,6 +156,152 @@ def _conv(a: Array, kernel: Array) -> Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+# Backward mode: True = Pallas bwd kernels (wgrad with inline prologue,
+# dgrad with inline prologue-grad — the recomputed activation and the raw
+# input-grad never materialize in HBM); False = XLA convs via
+# linear_transpose (kept as the reference/fallback path; byte-neutral with
+# the stock autodiff per the round-3 remat analysis).
+BWD_PALLAS = True
+
+
+def _wgrad_kernel(x0_ref, x1_ref, g_ref, mean_ref, mul_ref, bias_ref, out_ref,
+                  *, w: int, c: int, co: int, fold: bool, h: int):
+    """dW accumulation: A_block^T @ G_block with the prologue applied to the
+    input rows inline (sequential-grid += into the (9c, co) f32 output)."""
+    rows = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)  # (16, w+8, c)
+    if fold:
+        dt = rows.dtype
+        y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
+            + bias_ref[0].astype(dt)
+        rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+        prow = pl.program_id(1) * HC + lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 0)
+        pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
+        valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
+        rows = jnp.where(valid, rows, jnp.zeros((), dt))
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
+    a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
+    g = g_ref[0].reshape(HC * w, co)
+    contrib = lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += contrib
+
+
+def _wgrad_impl(xprev: Array, g: Array, fold) -> Array:
+    """(9C, Co) f32 weight grad; ``fold`` as in the forward (None = identity)."""
+    b, h, w, c = xprev.shape
+    co = g.shape[-1]
+    xp = _pad_input(xprev)
+    have_fold = fold is not None
+    if have_fold:
+        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+    else:
+        z = jnp.zeros((1, c), jnp.float32)
+        mean, mul, bias = z, z, z
+    blk = (1, HC, w + 8, c)
+    vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_wgrad_kernel, w=w, c=c, co=co,
+                               fold=have_fold, h=h)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // HC),
+        in_specs=[
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii + 1, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec,
+        ],
+        out_specs=pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
+        interpret=INTERPRET,
+    )(xp, xp, g, mean, mul, bias)
+
+
+def _dgrad_kernel(g0_ref, g1_ref, kt_ref, x_ref, mean_ref, mul_ref, bias_ref,
+                  dx_ref, dbias_ref, dmul_ref, *, w: int, c: int, co: int,
+                  fold: bool):
+    """dxprev block: transpose-conv of g (im2col with the flipped kernel),
+    then the prologue gradient applied inline (gate * mul), accumulating the
+    fold-vector cotangents.  g's halo is plain zeros — no masking needed."""
+    rows = jnp.concatenate([g0_ref[0], g1_ref[0]], axis=0)  # (16, w+8, co)
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, co))
+    gcol = jnp.concatenate(cols, axis=1)  # (HC*w, 9co)
+    da = jnp.dot(gcol, kt_ref[:, :], preferred_element_type=jnp.float32)
+    da = da.reshape(HC, w, c)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+        dmul_ref[:, :] = jnp.zeros_like(dmul_ref)
+
+    if fold:
+        x = x_ref[0]  # (HC, w, c) — the UNPADDED xprev block
+        dt = x.dtype
+        xm = x - mean_ref[0].astype(dt)
+        y = xm * mul_ref[0].astype(dt) + bias_ref[0].astype(dt)
+        gate = jnp.where(y >= 0, jnp.asarray(1.0, jnp.float32),
+                         jnp.asarray(LEAKY_SLOPE, jnp.float32))
+        dyv = da * gate
+        dx_ref[0] = (dyv * mul_ref[0]).astype(dx_ref.dtype)
+        dbias_ref[0, :] += jnp.sum(dyv, axis=(0, 1))
+        dmul_ref[0, :] += jnp.sum(dyv * xm.astype(jnp.float32), axis=(0, 1))
+    else:
+        dx_ref[0] = da.astype(dx_ref.dtype)
+
+
+def _dgrad_impl(g: Array, kmat_flip: Array, xprev: Array, fold):
+    """(dxprev, dbias, dmul): transpose conv + prologue grad + fold sums."""
+    b, h, w, co = g.shape
+    c = kmat_flip.shape[-1]
+    gp = _pad_input(g)
+    have_fold = fold is not None
+    if have_fold:
+        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+    else:
+        z = jnp.zeros((1, c), jnp.float32)
+        mean, mul, bias = z, z, z
+    blk = (1, HC, w + 8, co)
+    vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dgrad_kernel, w=w, c=c, co=co, fold=have_fold)
+    dx, dbias, dmul = pl.pallas_call(
+        kernel,
+        grid=(b, h // HC),
+        in_specs=[
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii + 1, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * co, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HC, w, c), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, HC, w, c), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), xprev.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(gp, gp, kmat_flip.astype(g.dtype), xprev, mean, mul, bias)
+    return dx, dbias[0], dmul[0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv_bn_fused(xprev: Array, kernel: Array, fold, has_fold: bool):
     """Fused [fold+LeakyReLU prologue] + 3x3 SAME conv + BN-sum epilogue.
@@ -190,7 +336,20 @@ def _vjp_bwd(has_fold, res, gs):
     g_conv = g_out + (g_s1[None, None, None, :]
                       + 2.0 * of * g_s2[None, None, None, :]).astype(g_out.dtype)
 
-    a = _prologue(xprev, fold if has_fold else None)
+    f = fold if has_fold else None
+
+    if BWD_PALLAS:
+        c, co = kernel.shape[2], kernel.shape[3]
+        dk = _wgrad_impl(xprev, g_conv, f).reshape(kernel.shape).astype(kernel.dtype)
+        k_flip = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))  # (3,3,co,c)
+        dxprev, dbias, dmul = _dgrad_impl(
+            g_conv, k_flip.reshape(9 * co, c), xprev, f)
+        if not has_fold:
+            return dxprev, dk, jax.tree.map(jnp.zeros_like, fold)
+        mean, mul, _ = fold
+        return dxprev, dk, (-dbias * mul, dmul, dbias)
+
+    a = _prologue(xprev, f)
     k = kernel.astype(a.dtype)
     # conv is bilinear: transpose each argument linearly (no forward re-run)
     da = jax.linear_transpose(lambda t: _conv(t, k), a)(g_conv)[0]

@@ -262,8 +262,11 @@ def make_eval_step(cfg: Config, model, mesh: Optional[Mesh] = None):
         x = eval_batch(images, bgr=cfg.bgr)
         variables = {"params": params, "batch_stats": batch_stats}
         # contextvar read at trace time inside the module bodies (same
-        # pattern as remat_tail_scope in make_train_step)
-        with fold_eval_bn_scope(bool(cfg.fold_eval_bn)):
+        # pattern as remat_tail_scope in make_train_step); the fused packed
+        # chain applies at eval too (folds come from running stats there)
+        with fold_eval_bn_scope(bool(cfg.fold_eval_bn)), \
+                fused_tail_scope(bool(cfg.fused_tail), mesh,
+                                 defer_head=fused_head_defer_ok(cfg)):
             logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
         logits = relayout_standard(logits, mesh=mesh)  # see make_train_step
         loss = loss_fn(logits, masks.astype(jnp.int32), sample_valid=valid)
