@@ -322,16 +322,19 @@ def test_siamese_fused_defer_matches_stock():
                                        err_msg=jax.tree_util.keystr(pa))
 
 
-def test_fused_variant_keeps_nondeferred_chain():
-    """dmg_model=fused: defer must be refused (FusionBlock's concat is not
-    fold-propagating) but the non-deferred fused chain must still run."""
+@pytest.mark.parametrize("defer", [False, True], ids=["nodefer", "defer"])
+def test_fused_variant_chain_matches_stock(defer):
+    """dmg_model=fused: the whole tail — two branch chains, the cross-fusion
+    group convs (grouped kernel embedding, shared raw concat), and with
+    ``defer`` the head consuming both deferred folds through the dec5
+    concat — matches the stock path."""
     from xview2_tpu.config import Config
     from xview2_tpu.models.layers import fused_tail_scope
     from xview2_tpu.models.unet import build_model, fused_head_defer_ok
 
     cfg = Config(type="post", dmg_model="fused", encoder="resnet50",
                  precision=32, loss_str="focal+dice")
-    assert not fused_head_defer_ok(cfg)
+    assert fused_head_defer_ok(cfg)
     model = build_model(cfg)
     rng = np.random.default_rng(19)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 6)), jnp.float32)
@@ -343,7 +346,7 @@ def test_fused_variant_keeps_nondeferred_chain():
 
     with fused_tail_scope(False):
         want = jax.jit(run)(variables, x)
-    with fused_tail_scope(True, defer_head=False):
+    with fused_tail_scope(True, defer_head=defer):
         got = jax.jit(run)(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)

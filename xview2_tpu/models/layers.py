@@ -545,8 +545,39 @@ class FusionBlock(nn.Module):
         else:
             pre = self.pre_layer(pre, train)
             post = self.post_layer(post, train)
-        fmap = jnp.concatenate([pre, post], axis=-1)
+        fmap = concat_registered(pre, post)
         if self.packed_last and last_dec:
+            fused, mesh, reg = fused_tail_state()
+            if fused and not remat_tail_active():
+                from xview2_tpu.ops.packed_fused_conv import supported
+                if supported(fmap.shape, 4 * self.features):
+                    # fused cross-fusion: both group convs consume the SAME
+                    # (possibly raw+registered) concat; with a registry the
+                    # two outputs defer their folds to the head concat
+                    ent = reg.pop(id(fmap), None) if reg is not None else None
+                    fold_in = ent[1] if (ent is not None and ent[0] is fmap) \
+                        else tuple(jnp.zeros((fmap.shape[-1],), jnp.float32)
+                                   for _ in range(3))
+                    has_fold = ent is not None
+                    n = fmap.shape[0] * fmap.shape[1] * fmap.shape[2] * 4
+                    raw_pre, fold_pre = _FusedPackedConvLayer(
+                        self.features, dtype=self.dtype, groups=2,
+                        name="conv_pre")(fmap, fold_in, has_fold, n, train, mesh)
+                    raw_post, fold_post = _FusedPackedConvLayer(
+                        self.features, dtype=self.dtype, groups=2,
+                        name="conv_post")(fmap, fold_in, has_fold, n, train, mesh)
+                    if reg is not None:
+                        reg[id(raw_pre)] = (raw_pre, fold_pre)
+                        reg[id(raw_post)] = (raw_post, fold_post)
+                        return raw_pre, raw_post
+                    return (_norm_act(raw_pre, *fold_pre, act="leaky"),
+                            _norm_act(raw_post, *fold_post, act="leaky"))
+            # fallthrough guard: a registered fold on fmap means the branch
+            # chains returned RAW maps — activate before the stock path
+            _, _, reg = fused_tail_state()
+            ent = reg.pop(id(fmap), None) if reg is not None else None
+            if ent is not None and ent[0] is fmap:
+                fmap = _norm_act(fmap, *ent[1], act="leaky")
             # pre/post are packed (B,H,W,4f): cross-fuse in the packed domain
             # (same params; kernel row-permuted to the group-major layout)
             new_pre = PackedGroupConvLayer(self.features, 2, dtype=self.dtype,
@@ -879,18 +910,29 @@ class _FusedPackedConvLayer(nn.Module):
     (``Conv_0``/``BatchNorm_0``); compute routed through the Pallas fused
     conv (prologue fold+act of the PREVIOUS layer, conv, BN-sum epilogue).
 
+    ``groups > 1``: the input is a group-major concat of packed branches and
+    the kernel embedding is row-permuted exactly like
+    ``PackedGroupConvLayer`` (the fused variant's cross-fusion stage).
+
     Takes and returns RAW conv outputs plus the fold to apply downstream."""
 
     features: int
     dtype: Dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, xprev: Array, fold, has_fold: bool, n: int,
                  train: bool, mesh):
-        ci = xprev.shape[-1] // 4
-        w = _ConvKernel((3, 3, ci, self.features), name="Conv_0")()
-        wp = s2d_conv_kernel(w).astype(self.dtype)
-        out, s1, s2 = _call_fused_conv(xprev.astype(self.dtype), wp, fold,
+        g = self.groups
+        cg = xprev.shape[-1] // (4 * g)
+        w = _ConvKernel((3, 3, g * cg, self.features), name="Conv_0")()
+        wp = s2d_conv_kernel(w)  # rows [p, g, c]
+        if g > 1:
+            wp = wp.reshape(3, 3, 4, g, cg, 4 * self.features)
+            wp = wp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                3, 3, 4 * g * cg, 4 * self.features)
+        out, s1, s2 = _call_fused_conv(xprev.astype(self.dtype),
+                                       wp.astype(self.dtype), fold,
                                        has_fold, mesh)
         fold_out = _PackedBNSums(self.features, name="BatchNorm_0")(
             s1, s2, n, train)

@@ -114,12 +114,9 @@ def fused_head_defer_ok(cfg: Config) -> bool:
 
     The head must receive dec5 either unchanged (single-branch variants) or
     as a branch concat whose folds ``layers.concat_registered`` propagates
-    (siamese/parallel).  Only ``fused`` is excluded: its last decoder stage is
-    the cross-fused ``PackedGroupConvLayer`` inside FusionBlock, which does
-    not emit deferred folds."""
-    if not _tail_packed(cfg):
-        return False
-    return cfg.type == "pre" or cfg.dmg_model != "fused"
+    (siamese/parallel, and ``fused`` whose cross-fusion FusionBlock emits
+    deferred folds for both group-conv outputs)."""
+    return _tail_packed(cfg)
 
 
 class UNetTemplate(nn.Module):
