@@ -388,3 +388,20 @@ def test_fused_eval_step_tta_sharded_matches_stock():
         _, _, logits = estep(params, bs, f1, images, masks, valid)
         outs[fused] = np.asarray(logits)
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4, atol=2e-4)
+
+
+def test_tap_gemm_formulation_matches_im2col():
+    """Both forward GEMM formulations (im2col K=9C vs 9 per-tap K=C GEMMs)
+    compute the same conv."""
+    x, k, fold = _case(29, h=16, w=16)
+    old = pfc.IM2COL
+    try:
+        pfc.IM2COL = True
+        a = conv_bn_fused(x, k, fold, True)
+        pfc.IM2COL = False
+        b = conv_bn_fused(x, k, fold, True)
+    finally:
+        pfc.IM2COL = old
+    for name, ra, rb in zip(("out", "s1", "s2"), a, b):
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(ra),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)

@@ -52,6 +52,13 @@ Array = jax.Array
 # which works on the CPU backend.
 INTERPRET = False
 
+# Forward GEMM formulation: True = one im2col GEMM per block (K = 9C; pays a
+# 9-slice lane-concat into a VMEM A-buffer), False = 9 accumulated per-tap
+# GEMMs (K = C = 128 exactly fills the MXU contraction; no concat, only
+# sublane-aligned slices).  Round-1 measured the *relayout* as the im2col
+# form's cost at C=32; both forms are kept measurable at C=128.
+IM2COL = True
+
 HC = 8  # output rows per grid step (one f32 sublane tile)
 LEAKY_SLOPE = 0.01
 
@@ -78,12 +85,19 @@ def _kernel(x0_ref, x1_ref, k_ref, mean_ref, mul_ref, bias_ref,
         pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
         valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
         rows = jnp.where(valid, rows, jnp.zeros((), dt))
-    cols = []
-    for dy in range(3):
-        for dx in range(3):
-            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
-    a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
-    acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+    if IM2COL:
+        cols = []
+        for dy in range(3):
+            for dx in range(3):
+                cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
+        a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
+        acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((HC * w, co), jnp.float32)
+        for t, (dy, dx) in enumerate((dy, dx) for dy in range(3) for dx in range(3)):
+            a = rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c)
+            acc += jnp.dot(a, k_ref[t * c:(t + 1) * c, :],
+                           preferred_element_type=jnp.float32)
     out = acc.astype(out_ref.dtype)
     out_ref[0] = out.reshape(HC, w, co)
 
