@@ -70,10 +70,12 @@ def test_fold_scope_train_trace_unchanged():
     def train_step(v, a):
         return model.apply(v, a, True, mutable=["batch_stats"])
 
+    # fresh lambdas: jax.jit on the same function object cache-hits across
+    # scope changes (contextvars are read at trace time)
     with fold_eval_bn_scope(False):
-        out_a, mut_a = jax.jit(train_step)(variables, x)
+        out_a, mut_a = jax.jit(lambda v, a: train_step(v, a))(variables, x)
     with fold_eval_bn_scope(True):
-        out_b, mut_b = jax.jit(train_step)(variables, x)
+        out_b, mut_b = jax.jit(lambda v, a: train_step(v, a))(variables, x)
 
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
     for (pa, la), (pb, lb) in zip(

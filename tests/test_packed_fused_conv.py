@@ -134,10 +134,13 @@ def test_block_fused_matches_stock(train):
             return out, mut["batch_stats"]
         return block.apply(v, xin, False), v["batch_stats"]
 
+    # NB fresh lambdas: jax.jit on the SAME function object cache-hits across
+    # scope changes (the contextvar is read at trace time), silently comparing
+    # stock to stock
     with fused_tail_scope(False):
-        want_out, want_bs = jax.jit(run)(variables, x)
+        want_out, want_bs = jax.jit(lambda v, a: run(v, a))(variables, x)
     with fused_tail_scope(True):
-        got_out, got_bs = jax.jit(run)(variables, x)
+        got_out, got_bs = jax.jit(lambda v, a: run(v, a))(variables, x)
 
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
                                rtol=1e-4, atol=1e-4)
@@ -344,10 +347,11 @@ def test_fused_variant_chain_matches_stock(defer):
         out, _ = model.apply(v, xin, True, mutable=["batch_stats"])
         return out
 
+    # fresh lambdas: see test_block_fused_matches_stock's jit-cache note
     with fused_tail_scope(False):
-        want = jax.jit(run)(variables, x)
+        want = jax.jit(lambda v, a: run(v, a))(variables, x)
     with fused_tail_scope(True, defer_head=defer):
-        got = jax.jit(run)(variables, x)
+        got = jax.jit(lambda v, a: run(v, a))(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
@@ -405,3 +409,44 @@ def test_tap_gemm_formulation_matches_im2col():
     for name, ra, rb in zip(("out", "s1", "s2"), a, b):
         np.testing.assert_allclose(np.asarray(rb), np.asarray(ra),
                                    rtol=1e-5, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("cin", [384, 128], ids=["concat-in", "square"])
+def test_fine_convblock_fused_matches_stock(cin):
+    """Lane-full fine-grid ConvBlock (the dec_l2/dec_l3 shape family) through
+    the fused chain: outputs, grads and batch stats match stock.
+
+    Runs in float64: in f32 the fused-vs-stock gradient comparison is blind
+    at the fresh-init operating point — the BN-statistics gradient path is
+    ill-conditioned and two correct f32 decompositions diverge by up to
+    ~8e-2 of leaf scale (verified: in f64 they agree to ~2e-6, the residual
+    being the intentional f32 stats casts; .scratch/dbg_fine15.py)."""
+    from xview2_tpu.models.layers import ConvBlock, fused_tail_scope
+    with jax.enable_x64():
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, cin)), jnp.float64)
+        block = ConvBlock(128, dtype=jnp.float64)
+        variables = jax.tree.map(
+            lambda l: l.astype(jnp.float64) if jnp.issubdtype(l.dtype, jnp.floating) else l,
+            block.init(jax.random.PRNGKey(0), x, True))
+
+        def loss(v, xin):
+            out, mut = block.apply(v, xin, True, mutable=["batch_stats"])
+            return jnp.sum(out * jnp.sin(0.01 * jnp.arange(out.size).reshape(out.shape))), \
+                mut["batch_stats"]
+
+        with fused_tail_scope(False):
+            (want_v, want_bs), want_g = jax.jit(
+                jax.value_and_grad(loss, has_aux=True))(variables, x)
+        with fused_tail_scope(True):
+            (got_v, got_bs), got_g = jax.jit(
+                jax.value_and_grad(loss, has_aux=True))(variables, x)
+
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
+        for tw, tg in ((want_g, got_g), (want_bs, got_bs)):
+            for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(tw),
+                                         jax.tree_util.tree_leaves_with_path(tg)):
+                scale = max(np.abs(np.asarray(la)).max(), 1e-6)
+                np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                           rtol=1e-4, atol=1e-4 * scale,
+                                           err_msg=jax.tree_util.keystr(pa))

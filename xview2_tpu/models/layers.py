@@ -340,13 +340,38 @@ class ConvLayer(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """Two stacked ConvLayers — reference layers.py:119-128."""
+    """Two stacked ConvLayers — reference layers.py:119-128.
+
+    Under ``fused_tail_scope``, lane-full stages (the dec_l2/dec_l3 decoder
+    blocks at batch-16 geometry — each a 268 MB activation) route through
+    the fused Pallas chain like ``PackedConvBlock``: conv1's stats fuse into
+    its output write, conv2 applies conv1's fold inline, and only the final
+    fold runs as an elementwise pass (the block output feeds a ConvTranspose
+    or DS head, which need the activated map)."""
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        fused, mesh, _ = fused_tail_state()
+        if fused and not remat_tail_active():
+            from xview2_tpu.ops.packed_fused_conv import supported
+            it = jnp.dtype(self.dtype).itemsize
+            mid = (x.shape[0], x.shape[1], x.shape[2], self.features)
+            # both-or-nothing: every currently-eligible stage has both convs
+            # eligible or neither (dec_l1's conv1 weights exceed VMEM)
+            if supported(x.shape, self.features, it) and \
+                    supported(mid, self.features, it):
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                zero = jnp.zeros((x.shape[-1],), jnp.promote_types(jnp.result_type(self.dtype), jnp.float32))
+                out1, fold1 = _FusedConvLayer(
+                    self.features, dtype=self.dtype, name="conv1")(
+                        x, (zero, zero, zero), False, n, train, mesh)
+                out2, fold2 = _FusedConvLayer(
+                    self.features, dtype=self.dtype, name="conv2")(
+                        out1, fold1, True, n, train, mesh)
+                return _norm_act(out2, *fold2, act="leaky")
         x = ConvLayer(self.features, dtype=self.dtype, name="conv1")(x, train)
         x = ConvLayer(self.features, dtype=self.dtype, name="conv2")(x, train)
         return x
@@ -556,8 +581,10 @@ class FusionBlock(nn.Module):
                     # two outputs defer their folds to the head concat
                     ent = reg.pop(id(fmap), None) if reg is not None else None
                     fold_in = ent[1] if (ent is not None and ent[0] is fmap) \
-                        else tuple(jnp.zeros((fmap.shape[-1],), jnp.float32)
-                                   for _ in range(3))
+                        else tuple(jnp.zeros(
+                            (fmap.shape[-1],),
+                            jnp.promote_types(jnp.result_type(self.dtype), jnp.float32))
+                            for _ in range(3))
                     has_fold = ent is not None
                     n = fmap.shape[0] * fmap.shape[1] * fmap.shape[2] * 4
                     raw_pre, fold_pre = _FusedPackedConvLayer(
@@ -849,33 +876,37 @@ class PackedGroupConvLayer(nn.Module):
 
 
 class _PackedBNSums(nn.Module):
-    """``_PackedBN`` fed by precomputed per-PACKED-channel sums.
+    """BatchNorm fed by precomputed per-channel sums from the fused kernel.
 
-    Consumes the fused kernel's f32 ``(s1, s2)`` (sums over batch and space
-    of the cast conv output), folds the 4 phase copies per fine channel,
-    updates running stats, and returns the tiled (mean, mul, bias) fold —
-    exactly ``_PackedBN``'s statistics, reassociation aside.  Variable tree
+    Consumes the f32 ``(s1, s2)`` (sums over batch and space of the cast
+    conv output), folds the ``phases`` copies per fine channel (4 for the
+    s2d-packed tail, 1 for fine-grid ConvBlocks), updates running stats, and
+    returns the phase-tiled (mean, mul, bias) fold — exactly ``_PackedBN``'s
+    / ``_BNStats``'s statistics, reassociation aside.  Variable tree
     identical to ``nn.BatchNorm`` (checkpoints interchange)."""
 
     features: int
+    phases: int = 4
 
     @nn.compact
     def __call__(self, s1: Array, s2: Array, n: int, train: bool = False):
-        c = self.features
+        c, p = self.features, self.phases
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
         ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
         if train:
-            mean = s1.reshape(4, c).sum(0) / n
-            var = s2.reshape(4, c).sum(0) / n - jnp.square(mean)
+            mean = s1.reshape(p, c).sum(0) / n
+            var = s2.reshape(p, c).sum(0) / n - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
         else:
             mean, var = ra_mean.value, ra_var.value
         mul = jax.lax.rsqrt(var + BN_EPS) * scale
-        return jnp.tile(mean, 4), jnp.tile(mul, 4), jnp.tile(bias, 4)
+        if p == 1:
+            return mean, mul, bias
+        return jnp.tile(mean, p), jnp.tile(mul, p), jnp.tile(bias, p)
 
 
 def _call_fused_conv(x: Array, wp: Array, fold, has_fold: bool, mesh):
@@ -939,6 +970,26 @@ class _FusedPackedConvLayer(nn.Module):
         return out, fold_out
 
 
+class _FusedConvLayer(nn.Module):
+    """Fine-grid fused-chain layer: param tree identical to ``ConvLayer``
+    (``Conv_0``/``BatchNorm_0``); the fine 3x3 kernel is used directly (no
+    s2d embedding).  Takes and returns RAW conv outputs plus the fold."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xprev: Array, fold, has_fold: bool, n: int,
+                 train: bool, mesh):
+        w = _ConvKernel((3, 3, xprev.shape[-1], self.features), name="Conv_0")()
+        out, s1, s2 = _call_fused_conv(xprev.astype(self.dtype),
+                                       w.astype(self.dtype), fold,
+                                       has_fold, mesh)
+        fold_out = _PackedBNSums(self.features, phases=1, name="BatchNorm_0")(
+            s1, s2, n, train)
+        return out, fold_out
+
+
 class PackedConvBlock(nn.Module):
     """Two stacked PackedConvLayers (variable tree matches ``ConvBlock``)."""
 
@@ -954,7 +1005,7 @@ class PackedConvBlock(nn.Module):
                 # per-fine-channel element count: GLOBAL shape (the module
                 # sees unsharded tracers under GSPMD; sums are psum'd global)
                 n = x.shape[0] * x.shape[1] * x.shape[2] * 4
-                zero = jnp.zeros((x.shape[-1],), jnp.float32)
+                zero = jnp.zeros((x.shape[-1],), jnp.promote_types(jnp.result_type(self.dtype), jnp.float32))
                 out1, fold1 = _FusedPackedConvLayer(
                     self.features, dtype=self.dtype, name="conv1")(
                         x, (zero, zero, zero), False, n, train, mesh)

@@ -63,14 +63,28 @@ HC = 8  # output rows per grid step (one f32 sublane tile)
 LEAKY_SLOPE = 0.01
 
 
+def _stat_dtype(dt):
+    """BN-sum / gradient-reduction dtype: f32 floor (the production
+    convention, matching _PackedBN's casts), promoted so float64 runs (the
+    parity instrument) stay f64-consistent end to end."""
+    return jnp.promote_types(dt, jnp.float32)
+
+
 def _pad_input(x: Array) -> Array:
     """(B, H, W, C) -> (B, H+8, W+8, C): halo at offset (1,1), tile-aligned."""
     return jnp.pad(x, ((0, 0), (1, 7), (1, 7), (0, 0)))
 
 
+_A_BUDGET = 5 << 20  # im2col A-buffer cap; fall back to per-tap GEMMs above
+
+
+def _use_im2col(w: int, c: int, itemsize: int) -> bool:
+    return IM2COL and HC * w * 9 * c * itemsize <= _A_BUDGET
+
+
 def _kernel(x0_ref, x1_ref, k_ref, mean_ref, mul_ref, bias_ref,
             out_ref, s1_ref, s2_ref, *, w: int, c: int, co: int, fold: bool,
-            h: int):
+            h: int, im2col: bool):
     """One (batch, row-block) step: prologue + im2col GEMM + stat sums."""
     rows = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)  # (16, w+8, c)
     if fold:
@@ -85,24 +99,25 @@ def _kernel(x0_ref, x1_ref, k_ref, mean_ref, mul_ref, bias_ref,
         pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
         valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
         rows = jnp.where(valid, rows, jnp.zeros((), dt))
-    if IM2COL:
+    accdt = jnp.promote_types(out_ref.dtype, jnp.float32)
+    if im2col:
         cols = []
         for dy in range(3):
             for dx in range(3):
                 cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
         a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
-        acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+        acc = jnp.dot(a, k_ref[:, :], preferred_element_type=accdt)
     else:
-        acc = jnp.zeros((HC * w, co), jnp.float32)
+        acc = jnp.zeros((HC * w, co), accdt)
         for t, (dy, dx) in enumerate((dy, dx) for dy in range(3) for dx in range(3)):
             a = rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c)
             acc += jnp.dot(a, k_ref[t * c:(t + 1) * c, :],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=accdt)
     out = acc.astype(out_ref.dtype)
     out_ref[0] = out.reshape(HC, w, co)
 
     # BN sums over the CAST output (matches _PackedBN: xf = out -> f32)
-    of = out.astype(jnp.float32)
+    of = out.astype(s1_ref.dtype)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
@@ -119,16 +134,18 @@ def _fwd_impl(xprev: Array, kmat: Array,
     b, h, w, c = xprev.shape
     co = kmat.shape[1]
     xp = _pad_input(xprev)
+    sdt = _stat_dtype(xprev.dtype)
     have_fold = fold is not None
     if have_fold:
-        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+        mean, mul, bias = (f.reshape(1, c).astype(sdt) for f in fold)
     else:
-        z = jnp.zeros((1, c), jnp.float32)
+        z = jnp.zeros((1, c), sdt)
         mean, mul, bias = z, z, z
 
     blk = (1, HC, w + 8, c)
     vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, w=w, c=c, co=co, fold=have_fold, h=h)
+    kernel = functools.partial(_kernel, w=w, c=c, co=co, fold=have_fold, h=h,
+                               im2col=_use_im2col(w, c, xprev.dtype.itemsize))
     out, s1, s2 = pl.pallas_call(
         kernel,
         grid=(b, h // HC),
@@ -146,8 +163,8 @@ def _fwd_impl(xprev: Array, kmat: Array,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, co), xprev.dtype),
-            jax.ShapeDtypeStruct((1, co), jnp.float32),
-            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), sdt),
+            jax.ShapeDtypeStruct((1, co), sdt),
         ],
         interpret=INTERPRET,
     )(xp, xp, kmat, mean, mul, bias)
@@ -179,7 +196,7 @@ BWD_PALLAS = True
 
 
 def _wgrad_kernel(x0_ref, x1_ref, g_ref, mean_ref, mul_ref, bias_ref, out_ref,
-                  *, w: int, c: int, co: int, fold: bool, h: int):
+                  *, w: int, c: int, co: int, fold: bool, h: int, im2col: bool):
     """dW accumulation: A_block^T @ G_block with the prologue applied to the
     input rows inline (sequential-grid += into the (9c, co) f32 output)."""
     rows = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)  # (16, w+8, c)
@@ -192,20 +209,26 @@ def _wgrad_kernel(x0_ref, x1_ref, g_ref, mean_ref, mul_ref, bias_ref, out_ref,
         pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
         valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
         rows = jnp.where(valid, rows, jnp.zeros((), dt))
-    cols = []
-    for dy in range(3):
-        for dx in range(3):
-            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
-    a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
     g = g_ref[0].reshape(HC * w, co)
-    contrib = lax.dot_general(a, g, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    out_ref[:, :] += contrib
+    if im2col:
+        cols = []
+        for dy in range(3):
+            for dx in range(3):
+                cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c))
+        a = jnp.concatenate(cols, axis=1)  # (HC*w, 9c)
+        out_ref[:, :] += lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=out_ref.dtype)
+    else:
+        for t, (dy, dx) in enumerate((dy, dx) for dy in range(3) for dx in range(3)):
+            a = rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, c)
+            out_ref[t * c:(t + 1) * c, :] += lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=out_ref.dtype)
 
 
 def _wgrad_impl(xprev: Array, g: Array, fold) -> Array:
@@ -213,16 +236,18 @@ def _wgrad_impl(xprev: Array, g: Array, fold) -> Array:
     b, h, w, c = xprev.shape
     co = g.shape[-1]
     xp = _pad_input(xprev)
+    sdt = _stat_dtype(xprev.dtype)
     have_fold = fold is not None
     if have_fold:
-        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+        mean, mul, bias = (f.reshape(1, c).astype(sdt) for f in fold)
     else:
-        z = jnp.zeros((1, c), jnp.float32)
+        z = jnp.zeros((1, c), sdt)
         mean, mul, bias = z, z, z
     blk = (1, HC, w + 8, c)
     vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_wgrad_kernel, w=w, c=c, co=co,
-                               fold=have_fold, h=h)
+                               fold=have_fold, h=h,
+                               im2col=_use_im2col(w, c, xprev.dtype.itemsize))
     return pl.pallas_call(
         kernel,
         grid=(b, h // HC),
@@ -235,24 +260,32 @@ def _wgrad_impl(xprev: Array, g: Array, fold) -> Array:
         ],
         out_specs=pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * c, co), sdt),
         interpret=INTERPRET,
     )(xp, xp, g, mean, mul, bias)
 
 
 def _dgrad_kernel(g0_ref, g1_ref, kt_ref, x_ref, mean_ref, mul_ref, bias_ref,
                   dx_ref, dbias_ref, dmul_ref, *, w: int, c: int, co: int,
-                  fold: bool):
+                  fold: bool, im2col: bool):
     """dxprev block: transpose-conv of g (im2col with the flipped kernel),
     then the prologue gradient applied inline (gate * mul), accumulating the
     fold-vector cotangents.  g's halo is plain zeros — no masking needed."""
+    sdt = dbias_ref.dtype
     rows = jnp.concatenate([g0_ref[0], g1_ref[0]], axis=0)  # (16, w+8, co)
-    cols = []
-    for dy in range(3):
-        for dx in range(3):
-            cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, co))
-    gcol = jnp.concatenate(cols, axis=1)  # (HC*w, 9co)
-    da = jnp.dot(gcol, kt_ref[:, :], preferred_element_type=jnp.float32)
+    if im2col:
+        cols = []
+        for dy in range(3):
+            for dx in range(3):
+                cols.append(rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, co))
+        gcol = jnp.concatenate(cols, axis=1)  # (HC*w, 9co)
+        da = jnp.dot(gcol, kt_ref[:, :], preferred_element_type=sdt)
+    else:
+        da = jnp.zeros((HC * w, c), sdt)
+        for t, (dy, dx) in enumerate((dy, dx) for dy in range(3) for dx in range(3)):
+            gs = rows[dy:dy + HC, dx:dx + w, :].reshape(HC * w, co)
+            da += jnp.dot(gs, kt_ref[t * co:(t + 1) * co, :],
+                          preferred_element_type=sdt)
     da = da.reshape(HC, w, c)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
@@ -265,12 +298,12 @@ def _dgrad_kernel(g0_ref, g1_ref, kt_ref, x_ref, mean_ref, mul_ref, bias_ref,
         dt = x.dtype
         xm = x - mean_ref[0].astype(dt)
         y = xm * mul_ref[0].astype(dt) + bias_ref[0].astype(dt)
-        gate = jnp.where(y >= 0, jnp.asarray(1.0, jnp.float32),
-                         jnp.asarray(LEAKY_SLOPE, jnp.float32))
+        gate = jnp.where(y >= 0, jnp.asarray(1.0, sdt),
+                         jnp.asarray(LEAKY_SLOPE, sdt))
         dyv = da * gate
-        dx_ref[0] = (dyv * mul_ref[0]).astype(dx_ref.dtype)
+        dx_ref[0] = (dyv * mul_ref[0].astype(sdt)).astype(dx_ref.dtype)
         dbias_ref[0, :] += jnp.sum(dyv, axis=(0, 1))
-        dmul_ref[0, :] += jnp.sum(dyv * xm.astype(jnp.float32), axis=(0, 1))
+        dmul_ref[0, :] += jnp.sum(dyv * xm.astype(sdt), axis=(0, 1))
     else:
         dx_ref[0] = da.astype(dx_ref.dtype)
 
@@ -280,15 +313,17 @@ def _dgrad_impl(g: Array, kmat_flip: Array, xprev: Array, fold):
     b, h, w, co = g.shape
     c = kmat_flip.shape[-1]
     gp = _pad_input(g)
+    sdt = _stat_dtype(g.dtype)
     have_fold = fold is not None
     if have_fold:
-        mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+        mean, mul, bias = (f.reshape(1, c).astype(sdt) for f in fold)
     else:
-        z = jnp.zeros((1, c), jnp.float32)
+        z = jnp.zeros((1, c), sdt)
         mean, mul, bias = z, z, z
     blk = (1, HC, w + 8, co)
     vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_dgrad_kernel, w=w, c=c, co=co, fold=have_fold)
+    kernel = functools.partial(_dgrad_kernel, w=w, c=c, co=co, fold=have_fold,
+                               im2col=_use_im2col(w, co, g.dtype.itemsize))
     dx, dbias, dmul = pl.pallas_call(
         kernel,
         grid=(b, h // HC),
@@ -308,8 +343,8 @@ def _dgrad_impl(g: Array, kmat_flip: Array, xprev: Array, fold):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, c), xprev.dtype),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), sdt),
+            jax.ShapeDtypeStruct((1, c), sdt),
         ],
         interpret=INTERPRET,
     )(gp, gp, kmat_flip.astype(g.dtype), xprev, mean, mul, bias)
@@ -346,7 +381,7 @@ def _vjp_bwd(has_fold, res, gs):
     # epilogue: s1 = sum(out_f32), s2 = sum(out_f32^2); cotangent folds back
     # onto the conv output (cast back to the primal dtype, like autodiff of
     # convert_element_type)
-    of = out.astype(jnp.float32)
+    of = out.astype(_stat_dtype(out.dtype))
     g_conv = g_out + (g_s1[None, None, None, :]
                       + 2.0 * of * g_s2[None, None, None, :]).astype(g_out.dtype)
 
@@ -361,7 +396,7 @@ def _vjp_bwd(has_fold, res, gs):
         if not has_fold:
             return dxprev, dk, jax.tree.map(jnp.zeros_like, fold)
         mean, mul, _ = fold
-        return dxprev, dk, (-dbias * mul, dmul, dbias)
+        return dxprev, dk, (-dbias * mul.astype(dbias.dtype), dmul, dbias)
 
     a = _prologue(xprev, f)
     k = kernel.astype(a.dtype)
@@ -378,13 +413,14 @@ def _vjp_bwd(has_fold, res, gs):
     dt = xprev.dtype
     y = (xprev - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
     gate = jnp.where(y >= 0, jnp.ones((), dt), jnp.asarray(LEAKY_SLOPE, dt))
+    sdt = _stat_dtype(dt)
     dy = da * gate
     dxprev = dy * mul.astype(dt)
-    dyf = dy.astype(jnp.float32)
+    dyf = dy.astype(sdt)
     dbias = jnp.sum(dyf, axis=(0, 1, 2))
-    dmul = jnp.sum(dyf * (xprev - mean.astype(dt)).astype(jnp.float32),
+    dmul = jnp.sum(dyf * (xprev - mean.astype(dt)).astype(sdt),
                    axis=(0, 1, 2))
-    dmean = -dbias * mul
+    dmean = -dbias * mul.astype(sdt)
     return dxprev, dk, (dmean, dmul, dbias)
 
 
@@ -400,7 +436,8 @@ def _head_kernel(x_ref, k_ref, mean_ref, mul_ref, bias_ref, hb_ref, out_ref,
         + bias_ref[0].astype(dt)
     rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
     a = rows.reshape(HC * w, c)
-    acc = jnp.dot(a, k_ref[:, :], preferred_element_type=jnp.float32)
+    acc = jnp.dot(a, k_ref[:, :],
+                  preferred_element_type=jnp.promote_types(out_ref.dtype, jnp.float32))
     out = acc.astype(out_ref.dtype) + hb_ref[0].astype(out_ref.dtype)
     out_ref[0] = out.reshape(HC, w, co)
 
@@ -408,7 +445,8 @@ def _head_kernel(x_ref, k_ref, mean_ref, mul_ref, bias_ref, hb_ref, out_ref,
 def _head_fwd_impl(x: Array, kmat: Array, hbias: Array, fold) -> Array:
     b, h, w, c = x.shape
     co = kmat.shape[1]
-    mean, mul, bias = (f.reshape(1, c).astype(jnp.float32) for f in fold)
+    sdt = _stat_dtype(x.dtype)
+    mean, mul, bias = (f.reshape(1, c).astype(sdt) for f in fold)
     vec = pl.BlockSpec((1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_head_kernel, w=w, c=c, co=co)
     return pl.pallas_call(
@@ -425,7 +463,7 @@ def _head_fwd_impl(x: Array, kmat: Array, hbias: Array, fold) -> Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
         interpret=INTERPRET,
-    )(x, kmat, mean, mul, bias, hbias.reshape(1, co).astype(jnp.float32))
+    )(x, kmat, mean, mul, bias, hbias.reshape(1, co).astype(sdt))
 
 
 @jax.custom_vjp
@@ -450,10 +488,11 @@ def _head_vjp_bwd(res, g):
     x, kmat, hbias, fold = res
     a = _prologue(x, fold)
     k = kmat.astype(a.dtype)
+    sdt = _stat_dtype(x.dtype)
     da = lax.dot_general(g, k, (((3,), (1,)), ((), ())))  # (B,H,W,C)
     dkmat = lax.dot_general(a, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    dhbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+                            preferred_element_type=sdt)
+    dhbias = jnp.sum(g.astype(sdt), axis=(0, 1, 2))
 
     mean, mul, bias = fold
     dt = x.dtype
@@ -461,10 +500,10 @@ def _head_vjp_bwd(res, g):
     gate = jnp.where(y >= 0, jnp.ones((), dt), jnp.asarray(LEAKY_SLOPE, dt))
     dy = da * gate
     dx = dy * mul.astype(dt)
-    dyf = dy.astype(jnp.float32)
+    dyf = dy.astype(sdt)
     dbias = jnp.sum(dyf, axis=(0, 1, 2))
-    dmul = jnp.sum(dyf * (x - mean.astype(dt)).astype(jnp.float32), axis=(0, 1, 2))
-    dmean = -dbias * mul
+    dmul = jnp.sum(dyf * (x - mean.astype(dt)).astype(sdt), axis=(0, 1, 2))
+    dmean = -dbias * mul.astype(sdt)
     return (dx, dkmat.astype(kmat.dtype), dhbias.astype(hbias.dtype),
             (dmean, dmul, dbias))
 
@@ -484,14 +523,26 @@ def reference_conv_bn(xprev: Array, kernel: Array, fold) -> Tuple[Array, Array, 
     the numerics the production PackedConvLayer path realizes)."""
     a = _prologue(xprev, fold)
     out = _conv(a, kernel.astype(a.dtype)).astype(xprev.dtype)
-    of = out.astype(jnp.float32)
+    of = out.astype(_stat_dtype(out.dtype))
     return out, jnp.sum(of, axis=(0, 1, 2)), jnp.sum(of * of, axis=(0, 1, 2))
 
 
-def supported(x_shape: Tuple[int, ...], c_out: int) -> bool:
-    """Static eligibility: lane-full packed maps with 8-aligned rows."""
+def supported(x_shape: Tuple[int, ...], c_out: int, itemsize: int = 2) -> bool:
+    """Static eligibility: lane-full maps, 8-aligned rows, VMEM budgets.
+
+    The same kernels serve the packed tail and fine-grid ConvBlocks; at
+    large channel counts the VMEM residents bound eligibility: the weight
+    matrix (fwd/dgrad), the two stacked row-block views, and — tightest —
+    the wgrad's (9C, Co) f32 accumulator, which stays resident across the
+    whole sequential grid."""
     if len(x_shape) != 4:
         return False
     _, h, w, c = x_shape
-    return (c % 128 == 0 and c_out % 128 == 0 and h % HC == 0 and h >= 16
-            and w >= 8)
+    if (c % 128 or c_out % 128 or h % HC or h < 16 or w < 8):
+        return False
+    weights = 9 * c * c_out * itemsize
+    rows = 2 * HC * (w + 8) * c * itemsize  # two stacked row-block views
+    acc = HC * w * c_out * 4
+    wgrad_acc = 9 * c * c_out * 4
+    return (weights <= (6 << 20) and wgrad_acc <= (7 << 20)
+            and rows + acc <= (8 << 20))
