@@ -180,3 +180,128 @@ def test_optimizer_update_matches_torch(name):
         np.testing.assert_allclose(np.asarray(jparams[f"p{i}"]),
                                    p.detach().numpy(), rtol=1e-5, atol=1e-7,
                                    err_msg=f"{name} param {i} diverged")
+
+
+# ---------------------------------------------------------------------------
+# damage-task (siamese) gradient parity: post loss masking + two-branch head
+# ---------------------------------------------------------------------------
+
+def torch_focal_dice_post(logits: torch.Tensor, labels: torch.Tensor) -> torch.Tensor:
+    """Differentiable torch focal+dice for the 4-class post task, replicating
+    ops/losses.make_loss_fn("focal+dice", "post"): supervision restricted to
+    building pixels (y > 0, != 255), labels shifted down by one; dice is
+    4-channel (background NOT excluded — only the 2-channel head excludes it),
+    masked monai batch=True sums; focal is the masked pixel mean / n_class."""
+    w = ((labels > 0) & (labels != 255)).double()
+    # clamp 255's shift into one-hot range; those pixels are w-masked anyway
+    # (ours one-hots clip(labels-1, 0, 3) identically, ops/losses.py)
+    shifted = (labels - 1).clamp(min=0, max=3)
+    probs = torch.softmax(logits, 1)
+    onehot = tF.one_hot(shifted, 4).permute(0, 3, 1, 2).to(logits.dtype)
+    wc = w.unsqueeze(1)
+    inter = (wc * probs * onehot).sum(dim=(0, 2, 3))
+    denom = (wc * probs).sum(dim=(0, 2, 3)) + (wc * onehot).sum(dim=(0, 2, 3))
+    dice = (1.0 - (2.0 * inter + 1e-5) / (denom + 1e-5)).mean()
+
+    logp = torch.log_softmax(logits, 1)
+    logpt = logp.gather(1, shifted.unsqueeze(1)).squeeze(1)
+    pt = logpt.exp()
+    focal = ((-((1.0 - pt) ** 2.0) * logpt) * w).sum() / w.sum().clamp(min=1.0) / 4.0
+    return focal + dice
+
+
+class TSiamese(torch.nn.Module):
+    """Reference SiameseUNet equations (unet.py:218-236): ONE shared
+    UNetTemplate on pre and post, head over the dec5 concat."""
+
+    def __init__(self):
+        super().__init__()
+        self.t = TUNetLoc(dilation=1)  # its own 1x1 head goes unused
+        self.head = torch.nn.Conv2d(64, 4, 1, bias=True)
+
+    def _dec5(self, x):
+        t = self.t
+        e1 = tF.relu(t.enc.bn1(t.enc.conv1(x)))
+        e2 = t.enc.layer1(t.enc.maxpool(e1))
+        e3 = t.enc.layer2(e2)
+        e4 = t.enc.layer3(e3)
+        e5 = t.enc.layer4(e4)
+        u = t.ups
+        d = u["d2"](u["d1"](e5, e4), e3)
+        d = u["d3"](d, e2)
+        d = u["d4"](d, e1)
+        return u["d5"](d)
+
+    def forward(self, x):
+        return self.head(torch.cat([self._dec5(x[:, :3]), self._dec5(x[:, 3:])], 1))
+
+
+def test_siamese_damage_train_gradients_match_torch():
+    """Training-numerics parity for the DAMAGE task: shared-template siamese
+    forward, two-branch packed head, and the masked post-task focal+dice —
+    the gradient chain of the actual competition configuration
+    (reference plt.py:50-54 with SiameseUNet + get_loss('post'))."""
+    torch.manual_seed(23)
+    t = TSiamese().double().train()
+    x = torch.randn(2, 6, 64, 64, dtype=torch.float64)
+    y = (torch.rand(2, 64, 64) * 5.6).long().clamp(max=5)
+    y[y == 5] = 255  # some un-classified pixels exercise the 255 mask
+
+    loss_t = torch_focal_dice_post(t(x), y)
+    loss_t.backward()
+
+    # grads -> jax layout via the value converters (swap data for grads)
+    saved = [p.data for p in t.parameters()]
+    try:
+        with torch.no_grad():
+            for p in t.parameters():
+                p.data = (p.grad if p.grad is not None else torch.zeros_like(p)).clone()
+        full, _ = convert_full(t.t, 1)
+        want = {"unet": full["unet"],
+                "output_block": {"output_block": {"conv": {
+                    "kernel": np.transpose(t.head.weight.detach().numpy(), (2, 3, 1, 0)),
+                    "bias": t.head.bias.detach().numpy()}}}}
+    finally:
+        with torch.no_grad():
+            for p, s in zip(t.parameters(), saved):
+                p.data = s
+
+    from xview2_tpu.models.unet import SiameseUNet
+
+    with jax.enable_x64():
+        cfg = Config(type="post", dmg_model="siamese", encoder="resnet50",
+                     precision=64, loss_str="focal+dice")
+        model = SiameseUNet(cfg)
+        full_v, stats = convert_full(t.t, 1)
+        params = {"unet": jax.tree.map(jnp.asarray, full_v["unet"]),
+                  "output_block": {"output_block": {"conv": {
+                      "kernel": jnp.asarray(np.transpose(
+                          t.head.weight.detach().numpy(), (2, 3, 1, 0))),
+                      "bias": jnp.asarray(t.head.bias.detach().numpy())}}}}
+        bstats = {"unet": jax.tree.map(jnp.asarray, stats["unet"])}
+        loss_fn = make_loss_fn("focal+dice", "post")
+        assert emits_packed_loss_view(cfg)
+
+        xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+        yj = jnp.asarray(y.numpy().astype(np.int32))
+        y_main = packed_loss_view_labels(yj)
+
+        def forward_loss(p):
+            outs, _ = model.apply({"params": p, "batch_stats": bstats},
+                                  xj, True, mutable=["batch_stats"])
+            return loss_fn(outs, y_main)
+
+        loss_j, grads = jax.jit(jax.value_and_grad(forward_loss))(params)
+        assert float(loss_j) == pytest.approx(float(loss_t.item()), rel=2e-7)
+
+        flat_w = {jax.tree_util.keystr(p): np.asarray(l)
+                  for p, l in jax.tree_util.tree_leaves_with_path(want)}
+        flat_g = {jax.tree_util.keystr(p): np.asarray(l)
+                  for p, l in jax.tree_util.tree_leaves_with_path(grads)}
+    assert set(flat_w) == set(flat_g)
+    for key, gw in flat_w.items():
+        gj = flat_g[key]
+        scale = max(np.abs(gw).max(), 1e-12)
+        np.testing.assert_allclose(
+            gj, gw, atol=1e-5 * scale, rtol=1e-5,
+            err_msg=f"gradient mismatch at {key}")
