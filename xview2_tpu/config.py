@@ -88,6 +88,7 @@ class Config:
     fold_eval_bn: bool = True  # eval-mode BN as a single folded affine (mathematically identical; see layers.fold_eval_bn_scope)
     eval_tta: str = "auto"  # eval-mode TTA override: auto = checkpoint's --tta (reference Model.load_from_checkpoint behavior), on/off = force
     fused_tail: bool = False  # packed decoder tail via the fused Pallas conv+BN chain (ops/packed_fused_conv.py)
+    einsum_1x1: bool = False  # lower 1x1 convs to einsum dots (fusable HLO; see layers.Conv1x1)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -238,6 +239,8 @@ def build_parser() -> ArgumentParser:
         help="Eval-mode TTA: auto follows the checkpoint's --tta; on/off force it")
     arg("--fused_tail", type=int, default=0, choices=[0, 1],
         help="Run the packed decoder tail through the fused Pallas conv+BN chain")
+    arg("--einsum_1x1", type=int, default=0, choices=[0, 1],
+        help="Lower 1x1 convs to einsum dots so BN/act epilogues can fuse")
     return parser
 
 

@@ -127,6 +127,62 @@ def fold_eval_bn_active(train: bool) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# 1x1 convs as einsum dots (encoder-side fusion lever).
+#
+# XLA:TPU lowers nn.Conv to a convolution custom call — a fusion BARRIER, so
+# every following BN/activation runs as its own HBM pass (the decoder-side
+# measurements in BASELINE.md).  A dot is plain HLO: XLA can fuse the
+# elementwise epilogue into the dot's output write.  2/3 of the ResNet/
+# ResNeSt bottleneck convs are 1x1, so the swap makes most encoder epilogue
+# traffic fusion-eligible.  Off by default pending the hardware A/B (the
+# conv custom call may still win on raw MXU scheduling).
+_EINSUM_1X1: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "xview2_einsum_1x1", default=False)
+
+
+@contextlib.contextmanager
+def einsum_1x1_scope(enabled: bool = True):
+    """Lower 1x1 convs to einsum dots for traces in this scope."""
+    tok = _EINSUM_1X1.set(enabled)
+    try:
+        yield
+    finally:
+        _EINSUM_1X1.reset(tok)
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv with a param tree identical to ``nn.Conv(features, (1, 1))``;
+    compute is the conv custom call by default, a plain dot (fusable HLO)
+    under ``einsum_1x1_scope``.  Identical math either way (strided form
+    slices first — a 1x1 conv reads only the strided grid)."""
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param("kernel", torch_conv_init,
+                            (1, 1, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        xd = x.astype(self.dtype)
+        if _EINSUM_1X1.get():
+            if self.strides > 1:
+                xd = xd[:, ::self.strides, ::self.strides, :]
+            out = jnp.einsum("bhwc,co->bhwo", xd, kernel[0, 0].astype(self.dtype))
+        else:
+            out = jax.lax.conv_general_dilated(
+                xd, kernel.astype(self.dtype),
+                (self.strides, self.strides), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Fused packed-tail conv chain (VERDICT r3 item 2).
 #
 # Under this scope ``PackedConvBlock`` routes through the Pallas
@@ -408,8 +464,7 @@ class AttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = nn.Conv(self.features, (1, 1), use_bias=False,
-                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        x = Conv1x1(self.features, dtype=self.dtype, name="Conv_0")(x)
         if fold_eval_bn_active(train):
             fold = _BNStats(self.features, name="BatchNorm_0")(x, train)
             return _norm_act(x, *fold, act="none")
@@ -484,8 +539,7 @@ class PPM(nn.Module):
         feats = [x]
         for i, b in enumerate(self.bins):
             f = adaptive_avg_pool(x, (b, b))
-            f = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=torch_conv_init,
-                        dtype=self.dtype, name=f"reduce{i}")(f)
+            f = Conv1x1(out_ch, dtype=self.dtype, name=f"reduce{i}")(f)
             if fold_eval_bn_active(train):
                 fold = _BNStats(out_ch, name=f"bn{i}")(f, train)
                 f = _norm_act(f, *fold, act="leaky")

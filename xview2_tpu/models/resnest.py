@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, _ConvKernel,
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, Conv1x1, _ConvKernel,
                                       _norm_act, fold_eval_bn_active, tag_bn,
                                       torch_conv_init)
 
@@ -207,8 +207,7 @@ class ResNeStBottleneck(nn.Module):
         use_avd = self.avd and (self.stride > 1 or self.is_first)
         conv2_stride = 1 if use_avd else self.stride
 
-        out = nn.Conv(group_width, (1, 1), use_bias=False, kernel_init=torch_conv_init,
-                      dtype=self.dtype, name="conv1")(x)
+        out = Conv1x1(group_width, dtype=self.dtype, name="conv1")(x)
         out = _bn(self.dtype, train, "bn1")(out)
         out = _relu(out)
         if use_avd and self.avd_first:
@@ -218,8 +217,8 @@ class ResNeStBottleneck(nn.Module):
                           dtype=self.dtype, name="conv2")(out, train)
         if use_avd and not self.avd_first:
             out = avg_pool_torch(out, 3, self.stride, padding=1)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=torch_conv_init, dtype=self.dtype, name="conv3")(out)
+        out = Conv1x1(self.planes * self.expansion, dtype=self.dtype,
+                      name="conv3")(out)
         out = _bn(self.dtype, train, "bn3")(out)
 
         identity = x
@@ -229,8 +228,7 @@ class ResNeStBottleneck(nn.Module):
                 identity = avg_pool_torch(identity, self.downsample_pool_stride,
                                           self.downsample_pool_stride,
                                           ceil_mode=True, count_include_pad=False)
-            identity = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                               kernel_init=torch_conv_init, dtype=self.dtype,
+            identity = Conv1x1(self.planes * self.expansion, dtype=self.dtype,
                                name="downsample_conv")(identity)
             identity = _bn(self.dtype, train, "downsample_bn")(identity)
         return _relu(out + identity)

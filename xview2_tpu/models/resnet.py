@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, _norm_act,
+from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, Conv1x1, _norm_act,
                                       fold_eval_bn_active, remat_norm_act,
                                       remat_tail_active, tag_bn,
                                       torch_conv_init)
@@ -80,22 +80,19 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_conv_init,
-                      dtype=self.dtype, name="conv1")(x)
+        out = Conv1x1(self.planes, dtype=self.dtype, name="conv1")(x)
         out = _bn(self.dtype, train, "bn1", act="relu")(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=self.dilation, kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, kernel_init=torch_conv_init, dtype=self.dtype,
                       name="conv2")(out)
         out = _bn(self.dtype, train, "bn2", act="relu")(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=torch_conv_init, dtype=self.dtype, name="conv3")(out)
+        out = Conv1x1(self.planes * self.expansion, dtype=self.dtype,
+                      name="conv3")(out)
         out = _bn(self.dtype, train, "bn3")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride), use_bias=False,
-                               kernel_init=torch_conv_init, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            identity = Conv1x1(self.planes * self.expansion, strides=self.stride,
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = _bn(self.dtype, train, "downsample_bn")(identity)
         return _relu(out + identity)
 

@@ -23,8 +23,8 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xview2_tpu.config import Config
-from xview2_tpu.models.layers import (fold_eval_bn_scope, fused_tail_scope,
-                                      remat_tail_scope)
+from xview2_tpu.models.layers import (einsum_1x1_scope, fold_eval_bn_scope,
+                                      fused_tail_scope, remat_tail_scope)
 from xview2_tpu.models.unet import emits_packed_loss_view, fused_head_defer_ok
 from xview2_tpu.ops.augment import augment_sample, eval_batch
 from xview2_tpu.ops.layout import relayout_standard
@@ -175,6 +175,7 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             y = y_main = rl(y)
 
         with remat_tail_scope(remat == "tail"), \
+                einsum_1x1_scope(bool(cfg.einsum_1x1)), \
                 fused_tail_scope(bool(cfg.fused_tail), mesh,
                                  defer_head=fused_head_defer_ok(cfg)):
             (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
@@ -265,6 +266,7 @@ def make_eval_step(cfg: Config, model, mesh: Optional[Mesh] = None):
         # pattern as remat_tail_scope in make_train_step); the fused packed
         # chain applies at eval too (folds come from running stats there)
         with fold_eval_bn_scope(bool(cfg.fold_eval_bn)), \
+                einsum_1x1_scope(bool(cfg.einsum_1x1)), \
                 fused_tail_scope(bool(cfg.fused_tail), mesh,
                                  defer_head=fused_head_defer_ok(cfg)):
             logits = tta_forward(model, variables, x, cfg.tta).astype(jnp.float32)
