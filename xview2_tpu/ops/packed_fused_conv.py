@@ -48,9 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# set True (e.g. in tests) to run kernels through the Pallas interpreter,
-# which works on the CPU backend.
+# set True (e.g. in tests) to force the Pallas interpreter; on non-TPU
+# backends interpret mode is selected automatically (Mosaic kernels only
+# compile for TPU — same convention as ops/layout.py / ops/rowshift.py).
 INTERPRET = False
+
+
+def _interpret() -> bool:
+    return INTERPRET or jax.default_backend() != "tpu"
 
 # Forward GEMM formulation: True = one im2col GEMM per block (K = 9C; pays a
 # 9-slice lane-concat into a VMEM A-buffer), False = 9 accumulated per-tap
@@ -166,7 +171,7 @@ def _fwd_impl(xprev: Array, kmat: Array,
             jax.ShapeDtypeStruct((1, co), sdt),
             jax.ShapeDtypeStruct((1, co), sdt),
         ],
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xp, xp, kmat, mean, mul, bias)
     return out, s1[0], s2[0]
 
@@ -261,7 +266,7 @@ def _wgrad_impl(xprev: Array, g: Array, fold) -> Array:
         out_specs=pl.BlockSpec((9 * c, co), lambda bb, ii: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * c, co), sdt),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xp, xp, g, mean, mul, bias)
 
 
@@ -346,7 +351,7 @@ def _dgrad_impl(g: Array, kmat_flip: Array, xprev: Array, fold):
             jax.ShapeDtypeStruct((1, c), sdt),
             jax.ShapeDtypeStruct((1, c), sdt),
         ],
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(gp, gp, kmat_flip.astype(g.dtype), xprev, mean, mul, bias)
     return dx, dbias[0], dmul[0]
 
@@ -462,7 +467,7 @@ def _head_fwd_impl(x: Array, kmat: Array, hbias: Array, fold) -> Array:
         out_specs=pl.BlockSpec((1, HC, w, co), lambda bb, ii: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(x, kmat, mean, mul, bias, hbias.reshape(1, co).astype(sdt))
 
 
