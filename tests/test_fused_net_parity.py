@@ -20,7 +20,7 @@ import torch.nn as nn
 import torch.nn.functional as tF
 
 from tests.test_full_net_parity import (TVResNet50, TConvLayer, TUpsample,
-                                        _convlayer, _k, _upsample)
+                                        _convlayer, _k, _upsample, convert_full)
 from tools.convert_weights import convert_resnet
 
 from xview2_tpu.config import Config
@@ -147,5 +147,72 @@ def test_fused_unet_matches_torch():
     got = model.apply(
         {"params": jax.tree.map(jnp.asarray, params),
          "batch_stats": jax.tree.map(jnp.asarray, stats)}, xj, False)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TParallel(nn.Module):
+    """Reference ParallelUNet equations (unet.py:427-446) with the documented
+    deviation: the post tower runs on the POST image (the reference reruns
+    the pre tower on the pre image — unet.py:443, a recorded bug)."""
+
+    def __init__(self, n_class=4):
+        super().__init__()
+        from tests.test_full_net_parity import TUNetLoc
+        self.pre = TUNetLoc(dilation=1)
+        self.post = TUNetLoc(dilation=1)
+        self.head = nn.Conv2d(64, n_class, 1, bias=True)
+
+    @staticmethod
+    def _dec5(t, x):
+        e1 = tF.relu(t.enc.bn1(t.enc.conv1(x)))
+        e2 = t.enc.layer1(t.enc.maxpool(e1))
+        e3 = t.enc.layer2(e2)
+        e4 = t.enc.layer3(e3)
+        e5 = t.enc.layer4(e4)
+        u = t.ups
+        d = u["d2"](u["d1"](e5, e4), e3)
+        return u["d5"](u["d4"](u["d3"](d, e2), e1))
+
+    def forward(self, x):
+        return self.head(torch.cat([self._dec5(self.pre, x[:, :3]),
+                                    self._dec5(self.post, x[:, 3:])], 1))
+
+
+def test_parallel_unet_matches_torch():
+    from xview2_tpu.models.unet import ParallelUNet
+
+    torch.manual_seed(17)
+    t = TParallel().eval()
+    x = torch.randn(1, 6, 96, 96)
+    with torch.no_grad():
+        want = t(x).numpy()
+
+    cfg = Config(type="post", dmg_model="parallel", encoder="resnet50",
+                 precision=32, loss_str="focal+dice")
+    model = ParallelUNet(cfg)
+    full_pre, stats_pre = convert_full(t.pre, 1)
+    full_post, stats_post = convert_full(t.post, 1)
+    params = {"unet_pre": full_pre["unet"],
+              "unet_post": full_post["unet"],
+              "output_block": {"output_block": {"conv": {
+                  "kernel": _k(t.head.weight),
+                  "bias": t.head.bias.detach().numpy()}}}}
+    stats = {"unet_pre": stats_pre["unet"], "unet_post": stats_post["unet"]}
+
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    init = model.init(jax.random.PRNGKey(0), xj, False)
+    for name, tree, ref in (("params", params, init["params"]),
+                            ("batch_stats", stats, init["batch_stats"])):
+        got_paths = {jax.tree_util.keystr(p): l.shape
+                     for p, l in jax.tree_util.tree_leaves_with_path(tree)}
+        want_paths = {jax.tree_util.keystr(p): l.shape
+                      for p, l in jax.tree_util.tree_leaves_with_path(ref)}
+        assert got_paths == want_paths, (
+            f"{name}: only-converted={sorted(set(got_paths) - set(want_paths))[:6]} "
+            f"only-init={sorted(set(want_paths) - set(got_paths))[:6]}")
+
+    got = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                       "batch_stats": jax.tree.map(jnp.asarray, stats)}, xj, False)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
