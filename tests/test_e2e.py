@@ -190,3 +190,23 @@ def test_nan_f1_warning_names_absent_classes(capsys):
     _warn_nan_f1(55.0, per_class, epoch=4, patience_left=7)
     _warn_nan_f1(float("nan"), None, epoch=4, patience_left=7)
     assert capsys.readouterr().out == ""
+
+
+def test_fit_and_eval_with_round4_levers(synth_root, tmp_path):
+    """The user surface of the round-4 levers: --fused_tail, --einsum_1x1,
+    --fold_eval_bn and --eval_tta plumb through main-level fit/eval (Pallas
+    kernels auto-interpret on the CPU backend)."""
+    results = str(tmp_path / "results")
+    cfg = Config(type="pre", encoder="resnet50", precision=32,
+                 loss_str="focal+dice", data=synth_root, results=results,
+                 batch_size=2, val_batch_size=2, epochs=1, num_workers=0,
+                 train_crop=64, gpus=1, fused_tail=True, einsum_1x1=True)
+    best = trainer.fit(cfg)
+    assert ckpt_lib.checkpoint_exists(best)
+    lines = [json.loads(l) for l in open(os.path.join(results, "logs.json"))]
+    assert np.isfinite(lines[-1]["data"]["val_loss"])
+
+    eval_cfg = cfg.replace(exec_mode="eval", ckpt=best, eval_tta="on")
+    data = trainer.test(eval_cfg)
+    assert np.isfinite(data["f1"])
+    assert glob.glob(os.path.join(results, "probs", "test_localization_*"))
