@@ -81,14 +81,35 @@ def main() -> None:
     # 'axon': UNAVAILABLE" at first device use) even though the chip came
     # back minutes later.  One cleared-backend retry after 60 s absorbs that
     # class of outage without masking real errors.
+    #
+    # The round-4 outage showed a second failure mode: backend init HANGS
+    # instead of raising (probes sat >15 min at first device use), which an
+    # exception-based retry never sees.  A SIGALRM bound around device
+    # discovery turns the hang into a retryable timeout.
+    import signal
+
+    def _probe_devices(timeout_s: int = 600) -> None:
+        def _on_alarm(signum, frame):
+            raise TimeoutError("backend init timed out")
+
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(timeout_s)
+        try:
+            jax.devices()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     attempts = 2
     for attempt in range(attempts):
         try:
+            _probe_devices()
             result = _run()
             break
         except Exception as err:  # noqa: BLE001 - classify then re-raise
             msg = str(err)
-            transient = "UNAVAILABLE" in msg or "initialize backend" in msg
+            transient = ("UNAVAILABLE" in msg or "initialize backend" in msg
+                         or isinstance(err, TimeoutError))
             if attempt + 1 < attempts and transient:
                 print(f"bench: transient backend failure ({msg.splitlines()[0]}); "
                       "retrying in 60 s", file=sys.stderr, flush=True)
