@@ -35,6 +35,40 @@ def _opcode(name: str) -> str:
     return n.split("(")[0][:32]
 
 
+def newest_xplane(trace_dir: str) -> str | None:
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    return paths[-1] if paths else None
+
+
+def total_device_ms(trace_dir: str) -> float:
+    """Total device XLA-op time (ms) across the newest trace under dir.
+
+    The programmatic form of :func:`summarize`'s headline number — used by
+    ``tools/roofline_configs.py`` to derive device ms/step (wall timing
+    through the tunneled relay includes ~5 ms/step of streaming overhead;
+    BASELINE.md measurement caveat).
+    """
+    path = newest_xplane(trace_dir)
+    if path is None:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    xs = load_xspace(path)
+    total = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                if "copy-start" in ev_meta.get(ev.metadata_id, "?"):
+                    continue
+                total += ev.duration_ps
+    return total / 1e12 * 1000
+
+
 def summarize(path: str, top: int = 40):
     xs = load_xspace(path)
     rows = collections.Counter()
