@@ -95,6 +95,8 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trace_steps", type=int, default=4)
     ap.add_argument("--tag", default="", help="extra label for the output row")
+    ap.add_argument("--donate", type=int, default=1,
+                    help="0 disables buffer donation (relay diagnostics)")
     args = ap.parse_args()
 
     import xview2_tpu.ops.packed_fused_conv as pfc
@@ -123,7 +125,8 @@ def main() -> int:
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         f1 = init_f1_state(cfg.n_metric_class)
         valid = jnp.ones((batch,), jnp.float32)
-        step = jax.jit(make_eval_step(cfg, model), donate_argnums=2)
+        step = jax.jit(make_eval_step(cfg, model),
+                       donate_argnums=(2,) if args.donate else ())
         compiled = step.lower(params, batch_stats, f1, images, masks, valid).compile()
 
         def run(i):

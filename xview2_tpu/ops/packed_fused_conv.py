@@ -96,7 +96,10 @@ def _kernel(x0_ref, x1_ref, k_ref, mean_ref, mul_ref, bias_ref,
         dt = rows.dtype
         y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
             + bias_ref[0].astype(dt)
-        rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+        # LeakyReLU as max(y, a*y) — bit-identical to where(y>=0, y, a*y) for
+        # 0<=a<=1, and comparison-free: Mosaic on v5e rejects 16-bit vector
+        # compares ("Target does not support this comparison").
+        rows = jnp.maximum(y, LEAKY_SLOPE * y)
         # SAME padding pads the ACTIVATED map with zeros; the prologue just
         # mapped the halo's padding zeros to act(bias - mean*mul) != 0, so
         # zero the halo back (padded row r is real row r-1; valid 1..h, 1..w)
@@ -209,7 +212,7 @@ def _wgrad_kernel(x0_ref, x1_ref, g_ref, mean_ref, mul_ref, bias_ref, out_ref,
         dt = rows.dtype
         y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
             + bias_ref[0].astype(dt)
-        rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+        rows = jnp.maximum(y, LEAKY_SLOPE * y)  # no 16-bit compare (Mosaic)
         prow = pl.program_id(1) * HC + lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 0)
         pcol = lax.broadcasted_iota(jnp.int32, (16, w + 8, 1), 1)
         valid = ((prow >= 1) & (prow <= h)) & ((pcol >= 1) & (pcol <= w))
@@ -303,7 +306,10 @@ def _dgrad_kernel(g0_ref, g1_ref, kt_ref, x_ref, mean_ref, mul_ref, bias_ref,
         dt = x.dtype
         xm = x - mean_ref[0].astype(dt)
         y = xm * mul_ref[0].astype(dt) + bias_ref[0].astype(dt)
-        gate = jnp.where(y >= 0, jnp.asarray(1.0, sdt),
+        # compare after an EXACT upcast to sdt (>=f32): Mosaic on v5e has no
+        # 16-bit vector compare; bf16->f32 is value-preserving so the gate is
+        # bit-identical to the bf16 comparison.
+        gate = jnp.where(y.astype(sdt) >= 0, jnp.asarray(1.0, sdt),
                          jnp.asarray(LEAKY_SLOPE, sdt))
         dyv = da * gate
         dx_ref[0] = (dyv * mul_ref[0].astype(sdt)).astype(dx_ref.dtype)
@@ -439,7 +445,7 @@ def _head_kernel(x_ref, k_ref, mean_ref, mul_ref, bias_ref, hb_ref, out_ref,
     dt = rows.dtype
     y = (rows - mean_ref[0].astype(dt)) * mul_ref[0].astype(dt) \
         + bias_ref[0].astype(dt)
-    rows = jnp.where(y >= 0, y, LEAKY_SLOPE * y)
+    rows = jnp.maximum(y, LEAKY_SLOPE * y)  # no 16-bit compare (Mosaic)
     a = rows.reshape(HC * w, c)
     acc = jnp.dot(a, k_ref[:, :],
                   preferred_element_type=jnp.promote_types(out_ref.dtype, jnp.float32))
