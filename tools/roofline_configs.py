@@ -95,8 +95,14 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trace_steps", type=int, default=4)
     ap.add_argument("--tag", default="", help="extra label for the output row")
-    ap.add_argument("--donate", type=int, default=1,
-                    help="0 disables buffer donation (relay diagnostics)")
+    ap.add_argument("--donate", type=int, default=0,
+                    help="1 donates the eval F1 state (train state is always "
+                         "donated). Default off: the 2026-08-18 re-imaged "
+                         "relay stack fails eval-step execution with a runtime "
+                         "INVALID_ARGUMENT when the F1 state is donated "
+                         "(compile succeeds; --donate 0 runs green at round-3 "
+                         "timings). Harness-only: the trainer never donates "
+                         "at eval.")
     args = ap.parse_args()
 
     import xview2_tpu.ops.packed_fused_conv as pfc
