@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from xview2_tpu.models.layers import (BN_EPS, BN_MOMENTUM, _BNStats, Conv1x1, _ConvKernel,
-                                      _norm_act, fold_eval_bn_active, tag_bn,
+                                      TorchBatchNorm, _norm_act,
+                                      fold_eval_bn_active, tag_bn,
                                       torch_conv_init)
 
 Array = jax.Array
@@ -60,8 +61,8 @@ def _bn(dtype, train, name=None):
             fold = _BNStats(x.shape[-1], name=_name)(x, train)
             return _norm_act(x, *fold, act="none")
         return apply
-    mod = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                       epsilon=BN_EPS, dtype=dtype, name=name)
+    mod = TorchBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=dtype, name=name)
     return lambda x: tag_bn(mod(x))
 
 
