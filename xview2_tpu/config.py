@@ -89,12 +89,15 @@ class Config:
     eval_tta: str = "auto"  # eval-mode TTA override: auto = checkpoint's --tta (reference Model.load_from_checkpoint behavior), on/off = force
     fused_tail: bool = False  # packed decoder tail via the fused Pallas conv+BN chain (ops/packed_fused_conv.py)
     einsum_1x1: bool = False  # lower 1x1 convs to einsum dots (fusable HLO; see layers.Conv1x1)
+    eval_fused_tail: str = "auto"  # eval-mode fused-tail override: auto = checkpoint's --fused_tail, on/off = force (identical variable trees)
+    eval_einsum_1x1: str = "auto"  # eval-mode einsum-1x1 override: auto = checkpoint's --einsum_1x1, on/off = force
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
             raise ValueError(f"exec_mode must be one of {EXEC_MODES}, got {self.exec_mode!r}")
-        if self.eval_tta not in ("auto", "on", "off"):
-            raise ValueError(f"eval_tta must be auto/on/off, got {self.eval_tta!r}")
+        for knob in ("eval_tta", "eval_fused_tail", "eval_einsum_1x1"):
+            if getattr(self, knob) not in ("auto", "on", "off"):
+                raise ValueError(f"{knob} must be auto/on/off, got {getattr(self, knob)!r}")
         if self.type not in TASK_TYPES:
             raise ValueError(f"type must be one of {TASK_TYPES}, got {self.type!r}")
         if self.optimizer.lower() not in OPTIMIZERS:
@@ -241,6 +244,12 @@ def build_parser() -> ArgumentParser:
         help="Run the packed decoder tail through the fused Pallas conv+BN chain")
     arg("--einsum_1x1", type=int, default=0, choices=[0, 1],
         help="Lower 1x1 convs to einsum dots so BN/act epilogues can fuse")
+    arg("--eval_fused_tail", type=str, default="auto", choices=["auto", "on", "off"],
+        help="Eval-mode fused-tail chain: auto follows the checkpoint's --fused_tail; "
+             "on/off force it (compute-path knob; the variable tree is identical)")
+    arg("--eval_einsum_1x1", type=str, default="auto", choices=["auto", "on", "off"],
+        help="Eval-mode einsum-1x1 lowering: auto follows the checkpoint's "
+             "--einsum_1x1; on/off force it (compute-path knob)")
     return parser
 
 

