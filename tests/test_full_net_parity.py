@@ -32,6 +32,8 @@ from convert_weights import convert_resnest, convert_resnet  # noqa: E402
 from xview2_tpu.config import Config  # noqa: E402
 from xview2_tpu.models.unet import UNetLoc  # noqa: E402
 
+pytestmark = pytest.mark.slow  # whole-net/oracle tier; quick gate = -m 'not slow'
+
 torch.manual_seed(7)
 
 

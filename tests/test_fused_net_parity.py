@@ -26,6 +26,10 @@ from tools.convert_weights import convert_resnet
 from xview2_tpu.config import Config
 from xview2_tpu.models.unet import FusedUNet
 
+import pytest
+
+pytestmark = pytest.mark.slow  # whole-net/oracle tier; quick gate = -m 'not slow'
+
 ENCF = [64, 256, 512, 1024, 2048]
 DECF = [512, 256, 128, 64, 32]
 

@@ -15,6 +15,8 @@ import xview2_tpu.ops.packed_fused_conv as pfc
 from xview2_tpu.ops.packed_fused_conv import (conv_bn_fused, reference_conv_bn,
                                               supported)
 
+pytestmark = pytest.mark.slow  # whole-net/oracle tier; quick gate = -m 'not slow'
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

@@ -42,6 +42,8 @@ from xview2_tpu.models.unet import UNetLoc, emits_packed_loss_view
 from xview2_tpu.ops.losses import make_loss_fn, packed_loss_view_labels
 from xview2_tpu.train.optimizers import build_optimizer
 
+pytestmark = pytest.mark.slow  # whole-net/oracle tier; quick gate = -m 'not slow'
+
 
 
 def torch_focal_dice_pre(logits: torch.Tensor, labels: torch.Tensor) -> torch.Tensor:
