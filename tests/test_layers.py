@@ -58,3 +58,49 @@ def test_max_pool_matches_torch():
     want = tF.max_pool2d(torch.tensor(x), 3, 2, padding=1).numpy()
     got = np.asarray(max_pool_3x3_s2(jnp.array(nhwc(x))))
     np.testing.assert_allclose(got, nhwc(want), rtol=1e-5, atol=1e-5)
+
+
+def test_torch_batchnorm_train_semantics_match_torch():
+    """layers.TorchBatchNorm == torch.nn.BatchNorm2d over 3 consecutive
+    train-mode batches: normalized outputs AND the running-stat chain.
+
+    The load-bearing check is running_var: torch updates it with the
+    UNBIASED batch variance (x n/(n-1)) while normalizing with the biased
+    one; flax's stock BatchNorm updates with the biased variance
+    (layers._bessel closes the gap).  At this geometry the biased update
+    would be off by ~n/(n-1)-1 = 0.4% of var scale per step — far above the
+    1e-5 tolerance, so a regression to flax semantics fails here."""
+    import jax
+    from xview2_tpu.models.layers import TorchBatchNorm
+
+    torch.manual_seed(3)
+    tbn = torch.nn.BatchNorm2d(8, momentum=0.1, eps=1e-5).train()
+    with torch.no_grad():
+        tbn.weight.uniform_(0.5, 1.5)
+        tbn.bias.normal_(0, 0.2)
+
+    mod = TorchBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    xs = [RNG.normal(size=(2, 8, 11, 13)).astype(np.float32) for _ in range(3)]
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(nhwc(xs[0])))
+    variables = {
+        "params": {"scale": jnp.asarray(tbn.weight.detach().numpy()),
+                   "bias": jnp.asarray(tbn.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"],  # zeros/ones == torch init
+    }
+    for k, x in enumerate(xs):
+        want = tbn(torch.tensor(x)).detach().numpy()
+        got, upd = mod.apply(variables, jnp.asarray(nhwc(x)),
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+        np.testing.assert_allclose(np.asarray(got), nhwc(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"normalized output, step {k}")
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["mean"]),
+            tbn.running_mean.numpy(), rtol=1e-5, atol=1e-7,
+            err_msg=f"running_mean, step {k}")
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-5, atol=1e-7,
+            err_msg=f"running_var (unbiased update), step {k}")
