@@ -132,6 +132,7 @@ def test_best_ckpt_selection_nan_guard():
     assert not _is_improvement(49.0, 50.0, best_exists=True)
 
 
+@pytest.mark.slow  # cross-impl/behavioral heavyweight; quick gate = -m 'not slow'
 def test_profile_trace_stops_on_short_run(synth_root, tmp_path):
     """--profile on a run shorter than the 6-step stop window must still close
     the trace (VERDICT weak #4) and write an xplane artifact."""
@@ -192,6 +193,7 @@ def test_nan_f1_warning_names_absent_classes(capsys):
     assert capsys.readouterr().out == ""
 
 
+@pytest.mark.slow  # cross-impl/behavioral heavyweight; quick gate = -m 'not slow'
 def test_resume_is_bit_faithful(synth_root, tmp_path):
     """A resumed 1+1-epoch run must equal an unbroken 2-epoch run bit-for-bit
     (VERDICT r4 item 5 / SURVEY §5.3 step-accurate pipeline resume).

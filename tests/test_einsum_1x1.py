@@ -14,6 +14,8 @@ from xview2_tpu.config import Config
 from xview2_tpu.models.layers import einsum_1x1_scope
 from xview2_tpu.models.unet import UNetLoc
 
+pytestmark = pytest.mark.slow  # cross-impl equivalence tier; quick gate = -m 'not slow'
+
 
 @pytest.mark.parametrize("encoder", ["resnet50", "resnest50"])
 def test_einsum_1x1_matches_conv(encoder):

@@ -42,6 +42,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow  # whole-net forward pair; quick gate = -m 'not slow'
 @pytest.mark.parametrize("kw", CASES, ids=["resnet50-att-ppm", "resnest50-aspp"])
 def test_folded_eval_forward_matches_stock(kw):
     cfg = Config(type="pre", precision=32, **kw)

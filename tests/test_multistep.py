@@ -14,6 +14,9 @@ from xview2_tpu.parallel.steps import (init_train_state, make_train_multistep,
                                        make_train_step)
 from xview2_tpu.train.optimizers import build_optimizer
 
+import pytest
+pytestmark = pytest.mark.slow  # cross-impl equivalence tier; quick gate = -m 'not slow'
+
 
 def test_two_scanned_steps_match_two_sequential():
     cfg = Config(type="pre", encoder="resnet50", precision=32,

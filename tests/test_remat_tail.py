@@ -27,6 +27,9 @@ from xview2_tpu.models.unet import build_model
 from xview2_tpu.parallel.steps import init_train_state, make_train_step
 from xview2_tpu.train.optimizers import build_optimizer
 
+import pytest
+pytestmark = pytest.mark.slow  # cross-impl equivalence tier; quick gate = -m 'not slow'
+
 RNG = np.random.default_rng(7)
 
 

@@ -79,6 +79,7 @@ def test_augment_shard_map_pallas_branch(data_sharding, monkeypatch):
                            "shard_map augmentation")
 
 
+@pytest.mark.slow  # cross-impl/behavioral heavyweight; quick gate = -m 'not slow'
 def test_train_step_with_mesh_matches_meshless(data_sharding):
     """One full sharded train step with the shard_map augmentation produces
     the same loss as the meshless step (both on the XLA fallback paths)."""

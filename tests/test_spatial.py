@@ -38,6 +38,7 @@ def test_config_validates_spatial_divisibility():
         Config(type="pre", gpus=4, spatial_shards=3)
 
 
+@pytest.mark.slow  # cross-impl/behavioral heavyweight; quick gate = -m 'not slow'
 def test_full_train_step_on_2d_mesh():
     """The FULL train step on the 2-D (data, space) mesh (VERDICT r3 #4).
 

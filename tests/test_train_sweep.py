@@ -17,6 +17,8 @@ from xview2_tpu.models.unet import build_model
 from xview2_tpu.parallel.steps import init_train_state, make_train_step
 from xview2_tpu.train.optimizers import build_optimizer
 
+pytestmark = pytest.mark.slow  # cross-impl equivalence tier; quick gate = -m 'not slow'
+
 VARIANTS = ["siamese", "siameseEnc", "fused", "fusedEnc", "parallel",
             "parallelEnc", "diff", "cat"]
 
