@@ -176,6 +176,22 @@ def test_eval_clears_stale_task_artifacts(trained, synth_root):
     os.unlink(other)
 
 
+def test_fit_with_remat_tail(synth_root, tmp_path):
+    """--remat plumbs through fit (numerics-identical recompute knob for
+    geometries that exceed HBM, e.g. cfg4 b4/b16 on the 2026-08-19 re-imaged
+    relay stack — BASELINE.md round-5 rows).  The remat-vs-stock numeric
+    equivalence itself is pinned in test_remat_tail.py; this covers the CLI
+    surface."""
+    results = str(tmp_path / "res_remat")
+    cfg = Config(type="pre", encoder="resnet50", precision=32, loss_str="ce",
+                 data=synth_root, results=results, batch_size=2, val_batch_size=2,
+                 epochs=1, num_workers=2, train_crop=64, gpus=1, remat="tail")
+    best = trainer.fit(cfg)
+    assert ckpt_lib.checkpoint_exists(best)
+    lines = [json.loads(l) for l in open(os.path.join(results, "logs.json"))]
+    assert np.isfinite(lines[-1]["data"]["val_loss"])
+
+
 def test_nan_f1_warning_names_absent_classes(capsys):
     """When the damage harmonic-mean F1 is NaN (class absent from val,
     reference f1.py:44-49) the trainer names the absent classes instead of

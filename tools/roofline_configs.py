@@ -91,6 +91,11 @@ def main() -> int:
                     help="fused-conv fwd form: 1 im2col GEMM, 0 per-tap GEMMs")
     ap.add_argument("--bwd", choices=["pallas", "xla"], default="pallas")
     ap.add_argument("--batch", type=int, default=0, help="override batch size")
+    ap.add_argument("--remat", default="",
+                    help="train-step remat policy: '' (off), tail, dots, full "
+                         "(make_train_step's knob — kept for configs that no "
+                         "longer fit HBM, e.g. cfg4 b4/b16 OOM on the "
+                         "2026-08-19 re-imaged relay stack)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trace_steps", type=int, default=4)
@@ -142,7 +147,9 @@ def main() -> int:
     else:
         tx = build_optimizer(cfg, cfg.lr)
         state = init_train_state(cfg, model, tx, rng, (64, 64, cfg.in_channels))
-        step = jax.jit(make_train_step(cfg, model, tx, crop=cfg.train_crop),
+        remat = {"": False, "full": True}.get(args.remat, args.remat)
+        step = jax.jit(make_train_step(cfg, model, tx, crop=cfg.train_crop,
+                                       remat=remat),
                        donate_argnums=0)
         compiled = step.lower(state, images, masks, rng).compile()
 
@@ -180,7 +187,7 @@ def main() -> int:
         "config": args.config, "tag": args.tag, "batch": batch,
         "fused_tail": args.fused_tail, "einsum_1x1": args.einsum_1x1,
         "fold_eval_bn": args.fold_eval_bn, "im2col": args.im2col,
-        "bwd": args.bwd,
+        "bwd": args.bwd, "remat": args.remat,
         "wall_ms": round(wall_ms, 1),
         "wall_tiles_s": round(batch / wall_ms * 1000, 1),
         "dev_ms": round(dev_ms, 1),

@@ -91,6 +91,7 @@ class Config:
     einsum_1x1: bool = False  # lower 1x1 convs to einsum dots (fusable HLO; see layers.Conv1x1)
     eval_fused_tail: str = "auto"  # eval-mode fused-tail override: auto = checkpoint's --fused_tail, on/off = force (identical variable trees)
     eval_einsum_1x1: str = "auto"  # eval-mode einsum-1x1 override: auto = checkpoint's --einsum_1x1, on/off = force
+    remat: str = "none"  # train-step rematerialization: none/tail/dots/full (for geometries that exceed HBM; numerics-identical)
 
     def __post_init__(self):
         if self.exec_mode not in EXEC_MODES:
@@ -98,6 +99,8 @@ class Config:
         for knob in ("eval_tta", "eval_fused_tail", "eval_einsum_1x1"):
             if getattr(self, knob) not in ("auto", "on", "off"):
                 raise ValueError(f"{knob} must be auto/on/off, got {getattr(self, knob)!r}")
+        if self.remat not in ("none", "tail", "dots", "full"):
+            raise ValueError(f"remat must be none/tail/dots/full, got {self.remat!r}")
         if self.type not in TASK_TYPES:
             raise ValueError(f"type must be one of {TASK_TYPES}, got {self.type!r}")
         if self.optimizer.lower() not in OPTIMIZERS:
@@ -250,6 +253,11 @@ def build_parser() -> ArgumentParser:
     arg("--eval_einsum_1x1", type=str, default="auto", choices=["auto", "on", "off"],
         help="Eval-mode einsum-1x1 lowering: auto follows the checkpoint's "
              "--einsum_1x1; on/off force it (compute-path knob)")
+    arg("--remat", type=str, default="none", choices=["none", "tail", "dots", "full"],
+        help="Rematerialize the forward in the train-step backward (numerics-"
+             "identical; trades recompute FLOPs for HBM). Use when a config's "
+             "geometry exceeds HBM — measured slower when activations fit "
+             "(BASELINE.md remat rows)")
     return parser
 
 

@@ -65,6 +65,11 @@ class TorchBatchNorm(nn.BatchNorm):
     stock-path byte stream and fusion structure are unchanged.  Used at every
     stock BN call site; the fold/remat/packed paths share the same semantics
     via ``_BNStats`` / ``_PackedBN`` / ``_PackedBNSums``.
+
+    NB this reuses two private ``flax.linen.normalization`` helpers (flax
+    0.12) to guarantee the bit-identical normalize; if a flax upgrade moves
+    them, the covering oracle is
+    ``tests/test_layers.py::test_torch_batchnorm_train_semantics_match_torch``.
     """
 
     @nn.compact
