@@ -91,11 +91,15 @@ def main() -> int:
                     help="fused-conv fwd form: 1 im2col GEMM, 0 per-tap GEMMs")
     ap.add_argument("--bwd", choices=["pallas", "xla"], default="pallas")
     ap.add_argument("--batch", type=int, default=0, help="override batch size")
-    ap.add_argument("--remat", default="",
-                    help="train-step remat policy: '' (off), tail, dots, full "
-                         "(make_train_step's knob — kept for configs that no "
-                         "longer fit HBM, e.g. cfg4 b4/b16 OOM on the "
-                         "2026-08-19 re-imaged relay stack)")
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "tail", "dots", "full", "act", "bn_act"],
+                    help="train-step remat policy (make_train_step's knob — "
+                         "kept for configs that no longer fit HBM, e.g. cfg4 "
+                         "b4/b16 OOM on the 2026-08-19 re-imaged relay stack). "
+                         "NOTE: before the round-5 vocabulary fix this arg "
+                         "passed unknown strings through and mapped full→dots; "
+                         "the campaign_r5 'full' rows measured the dots "
+                         "program (relabeled in BASELINE.md).")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trace_steps", type=int, default=4)
@@ -147,9 +151,8 @@ def main() -> int:
     else:
         tx = build_optimizer(cfg, cfg.lr)
         state = init_train_state(cfg, model, tx, rng, (64, 64, cfg.in_channels))
-        remat = {"": False, "full": True}.get(args.remat, args.remat)
         step = jax.jit(make_train_step(cfg, model, tx, crop=cfg.train_crop,
-                                       remat=remat),
+                                       remat=args.remat),
                        donate_argnums=0)
         compiled = step.lower(state, images, masks, rng).compile()
 

@@ -112,12 +112,18 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     HBM (10.4 GB temp), so recompute only adds FLOPs.  The knob remains for
     larger models/batches where temp memory would otherwise spill.
 
-    ``remat`` also accepts the surgical string policies ``"tail"`` (each
+    ``remat`` accepts the CLI vocabulary directly (``--remat`` in
+    ``config.py``): ``"none"``/``False`` (off), ``"tail"`` (surgical: each
     BN+activation runs in a local nothing-saveable checkpoint region — the
     elementwise tails are re-derived from the conv outputs in the backward,
-    see ``layers.remat_tail_scope``), plus ``"act"``/``"bn_act"``
-    (whole-function except-names policies, kept as measured negatives: they
-    make flax BN's f32 pre-cast internals saveable and OOM HBM at batch 16).
+    see ``layers.remat_tail_scope``), ``"dots"``/``True``
+    (``dots_saveable`` policy: matmul/conv outputs saved, everything else
+    recomputed), ``"full"`` (no-policy ``jax.checkpoint``: nothing saved,
+    the whole forward recomputed — strictly minimal residual memory), plus
+    ``"act"``/``"bn_act"`` (whole-function except-names policies, kept as
+    measured negatives: they make flax BN's f32 pre-cast internals saveable
+    and OOM HBM at batch 16).  Unknown values raise — a silent fallthrough
+    here once mislabeled a roofline A/B (BASELINE.md round-5 remat rows).
     """
     loss_fn = make_loss_fn(cfg.loss_str, cfg.type)
     use_aa = cfg.autoaugment
@@ -141,14 +147,14 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             loss = loss_fn(rl(outs), y_main)
         return loss, mutated["batch_stats"]
 
-    if remat == "tail":
-        # handled at trace time inside step_fn via layers.remat_tail_scope:
-        # each BN+activation runs in a local nothing-saveable checkpoint
-        # region whose only large residual is the conv output.  The global
-        # except-names policies below are kept for reference but measured
-        # HARMFUL: marking everything else saveable makes partial-eval store
-        # flax BatchNorm's f32 pre-cast internals (2x bytes; HBM OOM at
-        # batch 16 on v5e).
+    if remat in (False, None, "", "none") or remat == "tail":
+        # "tail" is handled at trace time inside step_fn via
+        # layers.remat_tail_scope: each BN+activation runs in a local
+        # nothing-saveable checkpoint region whose only large residual is
+        # the conv output.  The global except-names policies below are kept
+        # for reference but measured HARMFUL: marking everything else
+        # saveable makes partial-eval store flax BatchNorm's f32 pre-cast
+        # internals (2x bytes; HBM OOM at batch 16 on v5e).
         pass
     elif remat == "act":
         forward_loss = jax.checkpoint(
@@ -158,9 +164,17 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         forward_loss = jax.checkpoint(
             forward_loss,
             policy=jax.checkpoint_policies.save_anything_except_these_names("bn", "act"))
-    elif remat:
+    elif remat == "full":
+        # no policy: nothing saveable, the entire forward recomputes in the
+        # backward — the strictly-minimal-residual form for geometries that
+        # exceed HBM even under dots_saveable.
+        forward_loss = jax.checkpoint(forward_loss)
+    elif remat is True or remat == "dots":
         forward_loss = jax.checkpoint(
             forward_loss, policy=jax.checkpoint_policies.dots_saveable)
+    else:
+        raise ValueError(
+            f"remat must be none/tail/dots/full (or act/bn_act), got {remat!r}")
 
     augment = _augment_batch(use_aa, crop, cfg.bgr, mesh)
 

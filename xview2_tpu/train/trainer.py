@@ -209,9 +209,8 @@ def fit(cfg: Config) -> str:
         train_loader.epoch = start_epoch
         print(f"resumed from {resume_path} at epoch {start_epoch}", flush=True)
 
-    remat = {"none": False, "full": True}.get(cfg.remat, cfg.remat)
     train_step = jax.jit(make_train_step(cfg, runner.model, tx, crop=cfg.train_crop,
-                                         remat=remat, mesh=runner.mesh),
+                                         remat=cfg.remat, mesh=runner.mesh),
                          donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg, runner.model, mesh=runner.mesh))
     logger = MetricsLogger(cfg.results, cfg.logname)
